@@ -1,0 +1,30 @@
+"""flash_hash_join_tpu — a TPU-native vectorized hash-join / query-execution
+engine built from scratch in JAX/XLA/Pallas, with the capabilities of the
+CPU reference `conanhujinming/flash_hash_join` (see SURVEY.md).
+
+Public API mirrors the reference pybind module's 13 functions
+(hash_join.cpp:598-640): adaptive_join[_bloom][, _count[_bloom]],
+hash_join[_bloom], hash_join_radix[_bloom], hash_join_count[...],
+plus `initialize()`.  All take numpy uint64 (build_keys, build_values,
+probe_keys) and return (count, core_seconds).
+"""
+
+from flash_hash_join_tpu.api import (  # noqa: F401
+    adaptive_join,
+    adaptive_join_bloom,
+    adaptive_join_count,
+    adaptive_join_count_bloom,
+    hash_join,
+    hash_join_bloom,
+    hash_join_radix,
+    hash_join_radix_bloom,
+    hash_join_count,
+    hash_join_count_bloom,
+    hash_join_count_radix,
+    hash_join_count_radix_bloom,
+    initialize,
+    join_count,
+    join_materialize,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,167 @@
+"""Public API: the reference pybind module's 13 functions, TPU-native.
+
+Mirrors `PYBIND11_MODULE(flash_join, m)` (hash_join.cpp:598-640): every join
+function takes numpy uint64 arrays (build_keys, build_values, probe_keys) and
+returns `(count, core_seconds)` where core_seconds is device execution time
+excluding host<->device transfer and compilation (the reference's SimpleTimer
+likewise starts after pybind buffer marshaling, hash_join.cpp:385-390).
+
+Name mapping (reference -> here, identical names):
+  adaptive_join / adaptive_join_bloom / adaptive_join_count /
+  adaptive_join_count_bloom           — cost-model strategy selection
+  hash_join / hash_join_bloom          — single global table ("scalar" path)
+  hash_join_radix / hash_join_radix_bloom — partitioned path
+  hash_join_count[_bloom|_radix|_radix_bloom] — count-only variants
+  initialize                           — warm up the backend
+
+Extended (beyond the reference, which fills and drops its outputs,
+hash_join.cpp:444,:494): `join_materialize(..., return_arrays=True)` also
+returns the materialized (probe_key, value) numpy arrays.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from flash_hash_join_tpu.engine import default_engine
+from flash_hash_join_tpu.utils import u64
+
+
+def _as_u64(arr) -> np.ndarray:
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint64:
+        arr = arr.astype(np.uint64)
+    return arr
+
+
+def _run_join(build_keys, build_values, probe_keys, *, mode: str,
+              strategy: str, use_bloom: bool, return_arrays: bool = False):
+    build_keys = _as_u64(build_keys)
+    build_values = _as_u64(build_values)
+    probe_keys = _as_u64(probe_keys)
+    if build_keys.shape != build_values.shape:
+        raise ValueError("build_keys and build_values must have equal length")
+    nb, npr = build_keys.shape[0], probe_keys.shape[0]
+
+    if nb == 0 or npr == 0:
+        empty = np.zeros((0,), np.uint64)
+        if return_arrays:
+            return 0, 0.0, empty, empty
+        return 0, 0.0
+
+    eng = default_engine()
+    if strategy == "adaptive":
+        strategy = eng.plan(nb, npr).strategy
+
+    compiled = eng.prepare(nb, npr, mode, strategy, use_bloom)
+
+    kh, kl = u64.split_u64(build_keys)
+    vh, vl = u64.split_u64(build_values)
+    ph, pl = u64.split_u64(probe_keys)
+    args = [jax.device_put(a) for a in (kh, kl, vh, vl, ph, pl)]
+    args += [jax.device_put(np.int32(nb)), jax.device_put(np.int32(npr))]
+    for a in args:
+        a.block_until_ready()
+
+    t0 = time.perf_counter()
+    out = compiled(*args)
+    out = jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    core_seconds = time.perf_counter() - t0
+
+    if mode == "count":
+        return int(out), core_seconds
+    count = int(out[0])
+    if return_arrays:
+        out_keys = u64.join_u64(np.asarray(out[1]), np.asarray(out[2]))[:count]
+        out_vals = u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:count]
+        return count, core_seconds, out_keys, out_vals
+    return count, core_seconds
+
+
+# --- reference-parity API (13 functions, hash_join.cpp:603-639) -------------
+
+def adaptive_join(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="materialize", strategy="adaptive", use_bloom=False)
+
+
+def adaptive_join_bloom(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="materialize", strategy="adaptive", use_bloom=True)
+
+
+def adaptive_join_count(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="count", strategy="adaptive", use_bloom=False)
+
+
+def adaptive_join_count_bloom(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="count", strategy="adaptive", use_bloom=True)
+
+
+def hash_join(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="materialize", strategy="global", use_bloom=False)
+
+
+def hash_join_bloom(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="materialize", strategy="global", use_bloom=True)
+
+
+def hash_join_radix(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="materialize", strategy="partitioned", use_bloom=False)
+
+
+def hash_join_radix_bloom(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="materialize", strategy="partitioned", use_bloom=True)
+
+
+def hash_join_count(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="count", strategy="global", use_bloom=False)
+
+
+def hash_join_count_bloom(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="count", strategy="global", use_bloom=True)
+
+
+def hash_join_count_radix(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="count", strategy="partitioned", use_bloom=False)
+
+
+def hash_join_count_radix_bloom(build_keys, build_values, probe_keys):
+    return _run_join(build_keys, build_values, probe_keys,
+                     mode="count", strategy="partitioned", use_bloom=True)
+
+
+def initialize():
+    """Warm up the JAX backend (reference: initialize_memory_system pins
+    mimalloc at import, hash_join.cpp:596-599; here we just touch the device
+    so first-call latency is paid up front)."""
+    jax.device_put(np.zeros((1,), np.uint32)).block_until_ready()
+    return True
+
+
+# --- extended API ------------------------------------------------------------
+
+def join_count(build_keys, build_values, probe_keys, *, strategy="adaptive",
+               use_bloom=False):
+    return _run_join(build_keys, build_values, probe_keys, mode="count",
+                     strategy=strategy, use_bloom=use_bloom)
+
+
+def join_materialize(build_keys, build_values, probe_keys, *,
+                     strategy="adaptive", use_bloom=False,
+                     return_arrays=False):
+    return _run_join(build_keys, build_values, probe_keys, mode="materialize",
+                     strategy=strategy, use_bloom=use_bloom,
+                     return_arrays=return_arrays)

@@ -1,0 +1,73 @@
+"""Cost model for adaptive strategy selection.
+
+The reference dispatches on a single hard-coded row threshold
+(`build_size < RADIX_JOIN_THRESHOLD` = 1e6, hash_join.cpp:576-594).  The TPU
+replacement models the actual hardware constraint: does the working set of
+the probe phase (the keys table, plus the bloom directory when enabled) fit
+in VMEM, in on-chip-cacheable HBM, or neither — and picks the execution
+strategy accordingly (SURVEY.md §2 C11 "cost model over partition fits in
+VMEM").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from flash_hash_join_tpu.utils.config import JoinConfig
+
+# Usable VMEM per TPU core after pipeline buffers (of ~16 MiB physical).
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# HBM capacity guardrail for a single-chip join (v5e: 16 GiB).
+HBM_BUDGET_BYTES = 14 * 1024**3
+
+
+@dataclasses.dataclass(frozen=True)
+class JoinPlan:
+    strategy: str  # "global" | "partitioned"
+    gbits: int
+    table_bytes: int
+    bloom_bytes: int
+    num_partitions: int  # >1 only for "partitioned"
+    fits_vmem: bool
+
+
+def table_bytes(n_build: int, cfg: JoinConfig) -> tuple[int, int]:
+    """(keys-table bytes, bloom bytes) for a build side of n_build rows."""
+    ntot = cfg.total_groups(n_build)
+    per_group = 2 * cfg.group_size * 4  # uint32 hi+lo per slot
+    return ntot * per_group, ntot * 4
+
+
+def choose_plan(n_build: int, n_probe: int, cfg: JoinConfig) -> JoinPlan:
+    """Pick the probe strategy for a build/probe size pair.
+
+    "global": one table in HBM, probe via bucketized gathers.  Best when the
+    table is small enough that gathers stay cache/VMEM-friendly, or when the
+    probe side is small relative to the partitioning cost.
+
+    "partitioned": radix-partition both sides by top hash bits so each
+    partition's table fits in VMEM, then run the Pallas partition-local
+    probe.  Worth it when the probe side is large enough to amortize
+    partitioning it (the reference's radix path pays the same toll:
+    partitioning the probe side, hash_join.cpp:321).
+    """
+    kb, bb = table_bytes(n_build, cfg)
+    fits_vmem = kb + bb <= VMEM_BUDGET_BYTES
+
+    if fits_vmem:
+        return JoinPlan("global", cfg.group_bits(n_build), kb, bb, 1, True)
+
+    # Partition count that brings one partition's keys table under budget.
+    parts = 1
+    while True:
+        per_part_rows = -(-n_build // parts)
+        pk, pb = table_bytes(per_part_rows, cfg)
+        if pk + pb <= VMEM_BUDGET_BYTES or parts >= 1 << 12:
+            break
+        parts *= 2
+
+    # Partitioning the probe side costs ~1 sort pass over n_probe; the win is
+    # VMEM-resident tables.  Small probe sides don't amortize it.
+    if n_probe < 4 * n_build:
+        return JoinPlan("global", cfg.group_bits(n_build), kb, bb, 1, False)
+    return JoinPlan("partitioned", cfg.group_bits(n_build), kb, bb, parts, False)
