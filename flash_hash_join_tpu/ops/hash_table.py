@@ -57,8 +57,15 @@ class HashTable(NamedTuple):
     special: jnp.ndarray
 
 
-def home_group(h: jnp.ndarray, gbits: int) -> jnp.ndarray:
-    """Home group from the TOP gbits of the hash (nests under partition ids)."""
+def home_group(h: jnp.ndarray, gbits: int, pre_shift: int = 0) -> jnp.ndarray:
+    """Home group from the TOP gbits of the hash (nests under partition ids).
+
+    pre_shift discards that many top hash bits first: a shard of a
+    hash-partitioned table (distributed shuffle or radix partition) receives
+    keys that all share their top `pre_shift` bits, so its local table must
+    bucket on the bits below (parallel/distributed_join.py).
+    """
+    h = h << jnp.uint32(pre_shift)
     return (h >> jnp.uint32(32 - gbits)).astype(jnp.uint32)
 
 
@@ -74,6 +81,8 @@ def build_table(
     overflow_groups: int,
     with_bloom: bool,
     bloom_k: int = 3,
+    pre_shift: int = 0,
+    valid_mask: jnp.ndarray | None = None,
 ) -> HashTable:
     """Build the table from (possibly padded) u32-pair key/value columns.
 
@@ -90,6 +99,8 @@ def build_table(
     n_valid = jnp.asarray(n_valid, jnp.int32)
 
     row_valid = jnp.arange(n, dtype=jnp.int32) < n_valid
+    if valid_mask is not None:
+        row_valid = row_valid & valid_mask
     # Force padding rows to the MAX sentinel: they are excluded from placement
     # by the is_max rule below, uniformly with genuine 2**64-1 keys.
     kh = jnp.where(row_valid, kh.astype(jnp.uint32), EMPTY32)
@@ -106,7 +117,7 @@ def build_table(
     max_vl = jnp.where(has_max, vl[first_max], jnp.uint32(0))
 
     h = hash_u64(kh, kl)
-    home = home_group(h, gbits)
+    home = home_group(h, gbits, pre_shift)
 
     # Sort rows by (home, key) so equal keys are adjacent (exact dedup) and
     # placement order is canonical.  5-operand single sort; stability gives a
@@ -203,6 +214,7 @@ def _probe_chunk_state(
     use_bloom: bool,
     bloom_k: int,
     max_iters: int,
+    pre_shift: int = 0,
 ):
     """Resolve one chunk of probe keys; returns (matched, g_found, j_found,
     sp_match) — enough for both count and materialize callers."""
@@ -213,7 +225,7 @@ def _probe_chunk_state(
     pl = pl.astype(jnp.uint32)
 
     h = hash_u64(ph, pl)
-    g = home_group(h, gbits).astype(jnp.int32)
+    g = home_group(h, gbits, pre_shift).astype(jnp.int32)
 
     has_max = table.special[0] > 0
     is_max = (ph == EMPTY32) & (pl == EMPTY32)
@@ -289,6 +301,7 @@ def probe_count(
     n_valid: jnp.ndarray | int,
     *,
     probe_chunk: int,
+    valid_mask: jnp.ndarray | None = None,
     **static,
 ) -> jnp.ndarray:
     """Count probe keys present in the table (reference count semantics:
@@ -303,23 +316,27 @@ def probe_count(
     chunk = min(probe_chunk, n) if n > 0 else 1
     if n == 0:
         return jnp.int32(0)
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), jnp.bool_)
     if n % chunk != 0:
         pad = chunk - n % chunk
         ph = jnp.concatenate([ph, jnp.full((pad,), EMPTY32, jnp.uint32)])
         pl = jnp.concatenate([pl, jnp.full((pad,), EMPTY32, jnp.uint32)])
+        valid_mask = jnp.concatenate([valid_mask, jnp.zeros((pad,), jnp.bool_)])
     nchunks = ph.shape[0] // chunk
     ph = ph.reshape(nchunks, chunk)
     pl = pl.reshape(nchunks, chunk)
+    valid_mask = valid_mask.reshape(nchunks, chunk)
     bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     lane = jnp.arange(chunk, dtype=jnp.int32)
 
     def step(acc, xs):
-        base, ph_c, pl_c = xs
-        valid = (base + lane) < n_valid
+        base, ph_c, pl_c, vm_c = xs
+        valid = ((base + lane) < n_valid) & vm_c
         c = probe_count_chunk(table, ph_c, pl_c, valid, **static)
         return acc + c.astype(jnp.int32), None
 
-    total, _ = jax.lax.scan(step, jnp.int32(0), (bases, ph, pl))
+    total, _ = jax.lax.scan(step, jnp.int32(0), (bases, ph, pl, valid_mask))
     return total
 
 
@@ -330,6 +347,7 @@ def probe_materialize(
     n_valid: jnp.ndarray | int,
     *,
     probe_chunk: int,
+    valid_mask: jnp.ndarray | None = None,
     **static,
 ):
     """Materialize (probe_key, build_value) pairs for matching probe keys.
@@ -348,14 +366,18 @@ def probe_materialize(
     zero = jnp.zeros((0,), jnp.uint32)
     if n == 0:
         return jnp.int32(0), zero, zero, zero, zero
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), jnp.bool_)
     npad = n if n % chunk == 0 else n + (chunk - n % chunk)
     if npad != n:
         pad = npad - n
         ph = jnp.concatenate([ph, jnp.full((pad,), EMPTY32, jnp.uint32)])
         pl = jnp.concatenate([pl, jnp.full((pad,), EMPTY32, jnp.uint32)])
+        valid_mask = jnp.concatenate([valid_mask, jnp.zeros((pad,), jnp.bool_)])
     nchunks = npad // chunk
     phc = ph.reshape(nchunks, chunk)
     plc = pl.reshape(nchunks, chunk)
+    vmc = valid_mask.reshape(nchunks, chunk)
     bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     lane = jnp.arange(chunk, dtype=jnp.int32)
 
@@ -366,8 +388,8 @@ def probe_materialize(
 
     def step(carry, xs):
         offset, out_kh, out_kl, out_vh, out_vl = carry
-        base, ph_c, pl_c = xs
-        valid = (base + lane) < n_valid
+        base, ph_c, pl_c, vm_c = xs
+        valid = ((base + lane) < n_valid) & vm_c
         matched, vh, vl = probe_materialize_chunk(
             table, ph_c, pl_c, valid, **static
         )
@@ -383,6 +405,6 @@ def probe_materialize(
 
     carry0 = (jnp.int32(0), out_kh, out_kl, out_vh, out_vl)
     (count, out_kh, out_kl, out_vh, out_vl), _ = jax.lax.scan(
-        step, carry0, (bases, phc, plc)
+        step, carry0, (bases, phc, plc, vmc)
     )
     return count, out_kh[:n], out_kl[:n], out_vh[:n], out_vl[:n]

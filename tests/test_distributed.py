@@ -1,0 +1,113 @@
+"""Distributed join on an 8-virtual-device CPU mesh: count parity with the
+single-chip engine and the numpy oracle, shuffle validity masking, overflow
+detection."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flash_hash_join_tpu.parallel.mesh import data_mesh
+from flash_hash_join_tpu.parallel.distributed_join import (
+    build_distributed_join, shard_columns,
+)
+from flash_hash_join_tpu.utils import u64
+from flash_hash_join_tpu.utils.config import JoinConfig
+from tests.oracle import oracle_count
+
+CFG = JoinConfig(probe_chunk=1 << 12)
+
+
+def _cols(rng, nb, npr, match=0.5, dup=False):
+    bk = rng.integers(0, 2**64, nb, dtype=np.uint64)
+    if dup:
+        bk = np.concatenate([bk[: nb // 2]] * 2)[:nb]
+    bv = rng.integers(0, 2**64, nb, dtype=np.uint64)
+    nm = int(npr * match)
+    pk = np.concatenate(
+        [rng.choice(bk, nm), rng.integers(0, 2**64, npr - nm, dtype=np.uint64)]
+    )
+    rng.shuffle(pk)
+    return bk, bv, pk
+
+
+def _run(mesh, bk, bv, pk, use_bloom=False, materialize=False, quota_factor=2.0):
+    nb, npr = len(bk), len(pk)
+    ndev = mesh.devices.size
+    assert nb % ndev == 0 and npr % ndev == 0
+    fn = build_distributed_join(
+        mesh, nb // ndev, npr // ndev, cfg=CFG, use_bloom=use_bloom,
+        materialize=materialize, quota_factor=quota_factor,
+    )
+    kh, kl = u64.split_u64(bk)
+    vh, vl = u64.split_u64(bv)
+    ph, pl = u64.split_u64(pk)
+    args = shard_columns(mesh, [kh, kl, vh, vl, ph, pl])
+    return fn(*args)
+
+
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_distributed_count_parity(use_bloom):
+    mesh = data_mesh(8)
+    rng = np.random.default_rng(10)
+    bk, bv, pk = _cols(rng, 4096, 16384)
+    count, overflow = _run(mesh, bk, bv, pk, use_bloom=use_bloom)
+    assert int(overflow) == 0
+    assert int(count) == oracle_count(bk, pk)
+
+
+def test_distributed_count_duplicates():
+    mesh = data_mesh(8)
+    rng = np.random.default_rng(11)
+    bk, bv, pk = _cols(rng, 4096, 8192, dup=True)
+    count, overflow = _run(mesh, bk, bv, pk)
+    assert int(overflow) == 0
+    assert int(count) == oracle_count(bk, pk)
+
+
+def test_distributed_materialize():
+    mesh = data_mesh(8)
+    rng = np.random.default_rng(12)
+    bk = np.unique(rng.integers(0, 2**64, 4096, dtype=np.uint64))
+    pad = 4096 - len(bk)
+    bk = np.concatenate([bk, bk[:pad]])  # keep shape divisible; dups allowed
+    bv = rng.integers(0, 2**64, 4096, dtype=np.uint64)
+    pk = np.concatenate([rng.choice(bk, 4096), rng.integers(0, 2**64, 4096, dtype=np.uint64)])
+    gcount, overflow, counts, okh, okl, ovh, ovl = _run(
+        mesh, bk, bv, pk, materialize=True
+    )
+    assert int(overflow) == 0
+    assert int(gcount) == oracle_count(bk, pk)
+    assert int(np.sum(np.asarray(counts))) == int(gcount)
+    # collect valid rows from each shard and check they are real matches
+    counts = np.asarray(counts)
+    okh = np.asarray(okh).reshape(8, -1)
+    okl = np.asarray(okl).reshape(8, -1)
+    got = []
+    for d in range(8):
+        got.append(u64.join_u64(okh[d][: counts[d]], okl[d][: counts[d]]))
+    got = np.concatenate(got)
+    assert len(got) == int(gcount)
+    build_set = np.unique(bk)
+    assert np.isin(got, build_set).all()
+
+
+def test_overflow_detected_on_skew():
+    """All probe keys identical -> one device receives everything; with a
+    tight quota the shuffle must REPORT drops, never silently miscount."""
+    mesh = data_mesh(8)
+    rng = np.random.default_rng(13)
+    bk = rng.integers(0, 2**64, 1024, dtype=np.uint64)
+    bv = rng.integers(0, 2**64, 1024, dtype=np.uint64)
+    pk = np.full(8192, bk[0], dtype=np.uint64)  # max skew
+    count, overflow = _run(mesh, bk, bv, pk, quota_factor=1.0)
+    assert int(overflow) > 0  # skew beyond quota is loudly surfaced
+
+
+def test_distributed_matches_quota_slack():
+    mesh = data_mesh(8)
+    rng = np.random.default_rng(14)
+    bk, bv, pk = _cols(rng, 2048, 4096, match=1.0)
+    count, overflow = _run(mesh, bk, bv, pk, quota_factor=3.0)
+    assert int(overflow) == 0
+    assert int(count) == oracle_count(bk, pk)
