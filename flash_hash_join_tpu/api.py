@@ -71,8 +71,19 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     out = jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
     core_seconds = time.perf_counter() - t0
 
+    # All graphs return (..., special4); special[3] != 0 means the strategy
+    # dropped keys (bucket overflow on adversarial hash collisions) — rerun
+    # with the always-exact merge strategy so results never degrade.
+    special = np.asarray(out[-1])
+    if int(special[3]) != 0 and strategy != "merge":
+        compiled = eng.prepare(nb, npr, mode, "merge", use_bloom)
+        t0 = time.perf_counter()
+        out = compiled(*args)
+        out = jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        core_seconds = time.perf_counter() - t0
+
     if mode == "count":
-        return int(out), core_seconds
+        return int(out[0]), core_seconds
     count = int(out[0])
     if return_arrays:
         out_keys = u64.join_u64(np.asarray(out[1]), np.asarray(out[2]))[:count]

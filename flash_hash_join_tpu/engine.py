@@ -1,10 +1,25 @@
 """Join engine: jitted end-to-end build+probe graphs with AOT compile caching.
 
 Maps the reference's driver layer (_hash_join_{scalar,radix}_{count,
-materialize}, hash_join.cpp:316-567) onto single jitted XLA programs.  Each
-(shape, strategy, mode) pair is lowered and compiled once and cached, so the
-timed call measures pure device execution — the analog of the reference's
-SimpleTimer starting after pybind marshaling (hash_join.cpp:45-55, :390).
+materialize}, hash_join.cpp:316-567) onto single jitted XLA programs, one
+per (shape, strategy, mode) signature — compiled once, cached, so the timed
+call measures pure device execution (the analog of the reference's
+SimpleTimer starting after pybind marshaling, hash_join.cpp:45-55, :390).
+
+Strategies (picked by models/cost.py for "adaptive"):
+  merge   — gather-free sort-merge join (ops/merge_join.py); best when the
+            probe side is not much larger than the build side.
+  vmem    — Pallas VMEM bucket-table probe (ops/bucket_table.py +
+            ops/pallas/bucket_probe.py); small builds, huge probe streams;
+            measured 2.3B probe rows/s on v5e at 400 x 100M.
+  global  — HBM bucketized-gather table (ops/hash_table.py); any size.
+  partitioned — reference's radix regime; currently the global graph, the
+            Pallas partition-local probe slots in here.
+
+Every count graph returns (count, special4); materialize graphs return
+(count, out_kh, out_kl, out_vh, out_vl, special4).  special[3] != 0 means
+the strategy dropped keys (bucket overflow) — the caller MUST fall back to
+an exact strategy (api.py reruns with merge), so results are always exact.
 """
 
 from __future__ import annotations
@@ -16,13 +31,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_hash_join_tpu.ops import hash_table as ht
+from flash_hash_join_tpu.ops import merge_join as mj
+from flash_hash_join_tpu.ops import bucket_table as bt
 from flash_hash_join_tpu.utils.config import JoinConfig, DEFAULT_CONFIG
 from flash_hash_join_tpu.models.cost import choose_plan
 
+_ZERO4 = lambda: jnp.zeros((4,), jnp.uint32)  # noqa: E731
 
-def _static_kwargs(cfg: JoinConfig, gbits: int, use_bloom: bool) -> dict:
+
+def _table_static(cfg: JoinConfig, gbits: int, use_bloom: bool) -> dict:
     return dict(
-        gbits=gbits,
         group_size=cfg.group_size,
         total_groups=(1 << gbits) + cfg.overflow_groups,
         use_bloom=use_bloom,
@@ -31,52 +49,64 @@ def _static_kwargs(cfg: JoinConfig, gbits: int, use_bloom: bool) -> dict:
     )
 
 
-def join_count_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *, cfg, gbits, use_bloom):
+def join_count_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
+                     cfg, gbits, use_bloom):
     table = ht.build_table(
-        kh, kl, vh, vl, nb_valid,
-        gbits=gbits,
-        group_size=cfg.group_size,
-        overflow_groups=cfg.overflow_groups,
-        with_bloom=use_bloom,
-        bloom_k=cfg.bloom_k,
-    )
-    probe_static = _static_kwargs(cfg, gbits, use_bloom)
-    probe_static.pop("gbits")
-    return ht.probe_count(
-        table, ph, pl, np_valid,
-        probe_chunk=cfg.probe_chunk,
-        gbits=gbits,
-        **probe_static,
-    )
+        kh, kl, vh, vl, nb_valid, gbits=gbits, group_size=cfg.group_size,
+        overflow_groups=cfg.overflow_groups, with_bloom=use_bloom,
+        bloom_k=cfg.bloom_k)
+    count = ht.probe_count(
+        table, ph, pl, np_valid, probe_chunk=cfg.probe_chunk, gbits=gbits,
+        **_table_static(cfg, gbits, use_bloom))
+    return count, table.special
 
 
-def join_materialize_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *, cfg, gbits, use_bloom):
+def join_materialize_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
+                           cfg, gbits, use_bloom):
     table = ht.build_table(
-        kh, kl, vh, vl, nb_valid,
-        gbits=gbits,
-        group_size=cfg.group_size,
-        overflow_groups=cfg.overflow_groups,
-        with_bloom=use_bloom,
-        bloom_k=cfg.bloom_k,
-    )
-    probe_static = _static_kwargs(cfg, gbits, use_bloom)
-    probe_static.pop("gbits")
-    return ht.probe_materialize(
-        table, ph, pl, np_valid,
-        probe_chunk=cfg.probe_chunk,
-        gbits=gbits,
-        **probe_static,
-    )
+        kh, kl, vh, vl, nb_valid, gbits=gbits, group_size=cfg.group_size,
+        overflow_groups=cfg.overflow_groups, with_bloom=use_bloom,
+        bloom_k=cfg.bloom_k)
+    out = ht.probe_materialize(
+        table, ph, pl, np_valid, probe_chunk=cfg.probe_chunk, gbits=gbits,
+        **_table_static(cfg, gbits, use_bloom))
+    return (*out, table.special)
+
+
+def merge_count_graph(*args):
+    return mj.merge_join_count(*args), _ZERO4()
+
+
+def merge_materialize_graph(*args):
+    return (*mj.merge_join_materialize(*args), _ZERO4())
+
+
+def vmem_count_graph(*args, r_slots, interpret):
+    count, special = bt.bucket_join_count(*args, r_slots=r_slots,
+                                          interpret=interpret)
+    return count, special
+
+
+def vmem_materialize_graph(*args, r_slots, interpret):
+    return bt.bucket_join_materialize(*args, r_slots=r_slots,
+                                      interpret=interpret)
 
 
 @functools.lru_cache(maxsize=256)
 def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int):
     """AOT-compile the join graph for a shape/config signature."""
-    # "partitioned" currently shares the global-gather graph; the Pallas
-    # partition-local probe plugs in here (ops/pallas) as it lands.
-    graph = join_count_graph if mode == "count" else join_materialize_graph
-    fn = functools.partial(graph, cfg=cfg, gbits=gbits, use_bloom=use_bloom)
+    if strategy == "merge":
+        fn = merge_count_graph if mode == "count" else merge_materialize_graph
+    elif strategy == "vmem":
+        interpret = jax.default_backend() == "cpu"
+        base = vmem_count_graph if mode == "count" else vmem_materialize_graph
+        fn = functools.partial(base, r_slots=bt.r_slots_for(n_build),
+                               interpret=interpret)
+    else:  # "global" / "partitioned"
+        graph = join_count_graph if mode == "count" else join_materialize_graph
+        fn = functools.partial(graph, cfg=cfg, gbits=gbits,
+                               use_bloom=use_bloom)
     u32 = jnp.uint32
     i32 = jnp.int32
     spec = lambda n: jax.ShapeDtypeStruct((n,), u32)  # noqa: E731

@@ -54,6 +54,20 @@ def choose_plan(n_build: int, n_probe: int, cfg: JoinConfig) -> JoinPlan:
     kb, bb = table_bytes(n_build, cfg)
     fits_vmem = kb + bb <= VMEM_BUDGET_BYTES
 
+    # Measured on v5e (scripts/profile_*):
+    #   * Pallas VMEM bucket probe: ~0.5ns/probe at small builds (2.3B/s).
+    #   * lax.sort: ~6.5ns/row  ->  merge join ~ (nb+np) * 6.5ns.
+    #   * XLA HBM gather: ~12ns/probe flat -> global table path.
+    from flash_hash_join_tpu.ops.bucket_table import max_build_rows
+    if n_build <= max_build_rows() and n_probe >= 2 * n_build:
+        return JoinPlan("vmem", cfg.group_bits(n_build), 0, 0, 1, True)
+
+    # When the probe side is not much larger than the build side, the
+    # gather-free sort-merge join wins — sorting (nb+np) rows beats an
+    # nb-row table build + np gathers.
+    if n_probe < 4 * n_build:
+        return JoinPlan("merge", cfg.group_bits(n_build), 0, 0, 1, False)
+
     if fits_vmem:
         return JoinPlan("global", cfg.group_bits(n_build), kb, bb, 1, True)
 
@@ -66,8 +80,4 @@ def choose_plan(n_build: int, n_probe: int, cfg: JoinConfig) -> JoinPlan:
             break
         parts *= 2
 
-    # Partitioning the probe side costs ~1 sort pass over n_probe; the win is
-    # VMEM-resident tables.  Small probe sides don't amortize it.
-    if n_probe < 4 * n_build:
-        return JoinPlan("global", cfg.group_bits(n_build), kb, bb, 1, False)
     return JoinPlan("partitioned", cfg.group_bits(n_build), kb, bb, parts, False)

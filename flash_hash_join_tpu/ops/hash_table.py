@@ -173,13 +173,8 @@ def build_table(
         # only if excluded, so mask their tags to 0.
         h_s = hash_u64(kh_s, kl_s)
         tag = jnp.where(~is_max_s, bloom_word(h_s, bloom_k), jnp.uint32(0))
-
-        def _comb(a, b):
-            va, ga = a
-            vb, gb = b
-            return jnp.where(ga == gb, va | vb, vb), gb
-
-        tag_scan, _ = jax.lax.associative_scan(_comb, (tag, home_s))
+        from flash_hash_join_tpu.ops.segmented import segmented_scan
+        tag_scan = segmented_scan(lambda a, b: a | b, tag, home_s)
         seg_end = jnp.concatenate(
             [home_s[1:] != home_s[:-1], jnp.ones((1,), jnp.bool_)]
         )

@@ -31,19 +31,38 @@ def seg_starts(seg_ids: jnp.ndarray) -> jnp.ndarray:
 
 def segmented_scan(combine, values, seg_ids: jnp.ndarray):
     """Inclusive scan of `values` (pytree) with `combine`, restarting at each
-    new run of seg_ids.  Returns the scanned pytree."""
+    new run of seg_ids.  Returns the scanned pytree.
 
-    def seg_combine(a, b):
-        va, ga = a
-        vb, gb = b
-        same = ga == gb
-        merged = jax.tree_util.tree_map(
-            lambda x, y: jnp.where(same, x, y), combine(va, vb), vb
+    Implemented as a Hillis-Steele doubling scan (ceil(log2 n) rounds of
+    shift + masked combine) rather than jax.lax.associative_scan: the
+    even-odd recursion of associative_scan compiles pathologically slowly on
+    TPU at 1e7+ elements (minutes), while this unrolls to ~24 cheap fused
+    vector steps.  Work is O(n log n) but each round is pure VPU + HBM
+    streaming, which is exactly what the hardware is good at.
+    """
+    n = seg_ids.shape[0]
+    if n == 0:
+        return values
+
+    def shift_right(x, d, fill):
+        pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([pad, x[:-d]], axis=0)
+
+    d = 1
+    while d < n:
+        prev_seg = shift_right(seg_ids, d, seg_ids.dtype.type(-1) if
+                               jnp.issubdtype(seg_ids.dtype, jnp.signedinteger)
+                               else ~seg_ids.dtype.type(0))
+        same = prev_seg == seg_ids
+        prev_vals = jax.tree_util.tree_map(
+            lambda x: shift_right(x, d, x.dtype.type(0)), values
         )
-        return merged, gb
-
-    scanned, _ = jax.lax.associative_scan(seg_combine, (values, seg_ids))
-    return scanned
+        merged = combine(prev_vals, values)
+        values = jax.tree_util.tree_map(
+            lambda m, v: jnp.where(same, m, v), merged, values
+        )
+        d *= 2
+    return values
 
 
 def add_u64(a, b):
