@@ -54,7 +54,7 @@ def join_count_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     table = ht.build_table(
         kh, kl, vh, vl, nb_valid, gbits=gbits, group_size=cfg.group_size,
         overflow_groups=cfg.overflow_groups, with_bloom=use_bloom,
-        bloom_k=cfg.bloom_k)
+        bloom_k=cfg.bloom_k, max_probe_iters=cfg.max_probe_iters)
     count = ht.probe_count(
         table, ph, pl, np_valid, probe_chunk=cfg.probe_chunk, gbits=gbits,
         **_table_static(cfg, gbits, use_bloom))
@@ -66,7 +66,7 @@ def join_materialize_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     table = ht.build_table(
         kh, kl, vh, vl, nb_valid, gbits=gbits, group_size=cfg.group_size,
         overflow_groups=cfg.overflow_groups, with_bloom=use_bloom,
-        bloom_k=cfg.bloom_k)
+        bloom_k=cfg.bloom_k, max_probe_iters=cfg.max_probe_iters)
     out = ht.probe_materialize(
         table, ph, pl, np_valid, probe_chunk=cfg.probe_chunk, gbits=gbits,
         **_table_static(cfg, gbits, use_bloom))

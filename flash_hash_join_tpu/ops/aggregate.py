@@ -67,11 +67,14 @@ def hash_aggregate(
     )
     valid_s = valid_s.astype(jnp.bool_)
 
-    # Segment id = run of equal keys.  Invalid rows sorted last form one
-    # bogus trailing segment; masked out at the end.
+    # Segment id = run of equal keys.  Invalid rows keep their raw key but
+    # carry home 0xFFFFFFFF (> any valid home of gbits <= 32), so including
+    # home in the boundary test guarantees the invalid tail starts its own
+    # segment even when its first key equals the last valid group's key.
     new_key = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_),
-         (kh_s[1:] != kh_s[:-1]) | (kl_s[1:] != kl_s[:-1])]
+         (home_s[1:] != home_s[:-1])
+         | (kh_s[1:] != kh_s[:-1]) | (kl_s[1:] != kl_s[:-1])]
     )
     seg_id = jnp.cumsum(new_key.astype(jnp.int32)) - 1
 

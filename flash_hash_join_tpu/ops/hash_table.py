@@ -83,6 +83,7 @@ def build_table(
     bloom_k: int = 3,
     pre_shift: int = 0,
     valid_mask: jnp.ndarray | None = None,
+    max_probe_iters: int | None = None,
 ) -> HashTable:
     """Build the table from (possibly padded) u32-pair key/value columns.
 
@@ -148,6 +149,15 @@ def build_table(
     in_range = slot < max_slot
     place = keep & in_range
     n_dropped = jnp.sum(keep & ~in_range).astype(jnp.uint32)
+    if max_probe_iters is not None:
+        # A placed key whose probe chain spans >= max_probe_iters groups is
+        # unreachable by the bounded probe loop (_probe_chunk_state gives up
+        # after max_iters groups).  Count such keys as dropped so callers'
+        # exact-fallback rerun (api.py on special[3] != 0) also covers
+        # adversarial chains that stay inside the table.
+        chain_groups = slot // G - home_s.astype(jnp.int32)
+        unreachable = place & (chain_groups >= max_probe_iters)
+        n_dropped = n_dropped + jnp.sum(unreachable).astype(jnp.uint32)
 
     g_idx = slot // G
     j_idx = slot - g_idx * G

@@ -71,6 +71,7 @@ def _local_join(
         overflow_groups=cfg.overflow_groups,
         with_bloom=use_bloom, bloom_k=cfg.bloom_k,
         pre_shift=dbits, valid_mask=bvalid,
+        max_probe_iters=cfg.max_probe_iters,
     )
     static = dict(
         gbits=gbits, group_size=cfg.group_size,
@@ -78,7 +79,12 @@ def _local_join(
         use_bloom=use_bloom, bloom_k=cfg.bloom_k,
         max_iters=cfg.max_probe_iters, pre_shift=dbits,
     )
-    overflow = overflow_b + overflow_p
+    # Fold in keys the LOCAL table build dropped (chain/table overflow,
+    # special[3]) so callers see every exactness hazard in one counter —
+    # the single-chip path falls back on this signal (api.py); distributed
+    # callers must treat overflow > 0 the same way.
+    build_drops = jax.lax.psum(table.special[3].astype(jnp.int32), axis_name)
+    overflow = overflow_b + overflow_p + build_drops
     if materialize:
         count, okh, okl, ovh, ovl = ht.probe_materialize(
             table, rph, rpl, rph.shape[0],
