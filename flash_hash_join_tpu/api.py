@@ -66,20 +66,26 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     for a in args:
         a.block_until_ready()
 
+    # Timing barrier: block on the SCALAR count output.  All outputs come
+    # from one XLA program, so the scalar is ready exactly when the program
+    # finishes; under the axon TPU tunnel block_until_ready on large array
+    # outputs returns early (deferred transfer), so blocking on the scalar
+    # is the only faithful analog of the reference's SimpleTimer stop
+    # (hash_join.cpp:45-55 — excludes marshaling, includes compute).
     t0 = time.perf_counter()
     out = compiled(*args)
-    out = jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    out[0].block_until_ready()
     core_seconds = time.perf_counter() - t0
 
     # All graphs return (..., special4); special[3] != 0 means the strategy
-    # dropped keys (bucket overflow on adversarial hash collisions) — rerun
+    # dropped keys (bucket/window overflow on adversarial inputs) — rerun
     # with the always-exact merge strategy so results never degrade.
     special = np.asarray(out[-1])
     if int(special[3]) != 0 and strategy != "merge":
         compiled = eng.prepare(nb, npr, mode, "merge", use_bloom)
         t0 = time.perf_counter()
         out = compiled(*args)
-        out = jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        out[0].block_until_ready()
         core_seconds = time.perf_counter() - t0
 
     if mode == "count":

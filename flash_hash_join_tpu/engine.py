@@ -7,14 +7,16 @@ call measures pure device execution (the analog of the reference's
 SimpleTimer starting after pybind marshaling, hash_join.cpp:45-55, :390).
 
 Strategies (picked by models/cost.py for "adaptive"):
-  merge   — gather-free sort-merge join (ops/merge_join.py); best when the
-            probe side is not much larger than the build side.
+  merge   — gather-free sort-merge join (ops/merge_join.py); the always-
+            exact fallback (no quota/window failure modes).
   vmem    — Pallas VMEM bucket-table probe (ops/bucket_table.py +
             ops/pallas/bucket_probe.py); small builds, huge probe streams;
             measured 2.3B probe rows/s on v5e at 400 x 100M.
-  global  — HBM bucketized-gather table (ops/hash_table.py); any size.
-  partitioned — reference's radix regime; currently the global graph, the
-            Pallas partition-local probe slots in here.
+  global  — HBM bucketized-gather table (ops/hash_table.py); kept for
+            completeness (XLA HBM gathers measured ~7-12 ns/probe).
+  partitioned — the reference's radix regime (hash_join.cpp:316-381,
+            :498-534), TPU-native: hash-sorted range table + windowed
+            Pallas probe (ops/range_table.py).  Default for large builds.
 
 Every count graph returns (count, special4); materialize graphs return
 (count, out_kh, out_kl, out_vh, out_vl, special4).  special[3] != 0 means
@@ -33,6 +35,7 @@ import numpy as np
 from flash_hash_join_tpu.ops import hash_table as ht
 from flash_hash_join_tpu.ops import merge_join as mj
 from flash_hash_join_tpu.ops import bucket_table as bt
+from flash_hash_join_tpu.ops import range_table as rt
 from flash_hash_join_tpu.utils.config import JoinConfig, DEFAULT_CONFIG
 from flash_hash_join_tpu.models.cost import choose_plan
 
@@ -103,7 +106,13 @@ def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
         base = vmem_count_graph if mode == "count" else vmem_materialize_graph
         fn = functools.partial(base, r_slots=bt.r_slots_for(n_build),
                                interpret=interpret)
-    else:  # "global" / "partitioned"
+    elif strategy == "partitioned":
+        interpret = jax.default_backend() == "cpu"
+        base = (rt.range_join_count if mode == "count"
+                else rt.range_join_materialize)
+        fn = functools.partial(base, W=rt.plan_window(n_build, n_probe),
+                               interpret=interpret)
+    else:  # "global"
         graph = join_count_graph if mode == "count" else join_materialize_graph
         fn = functools.partial(graph, cfg=cfg, gbits=gbits,
                                use_bloom=use_bloom)

@@ -33,19 +33,21 @@ def bench(name, fn, args, n_rows, reps, number=3):
     def scanned(*xs):
         def step(carry, i):
             out = fn(i, *xs)
-            # fold output into carry so no iteration is dead
-            return carry + jnp.sum(out[-1] if isinstance(out, tuple) else out,
-                                   dtype=jnp.uint32), None
+            out = out[-1] if isinstance(out, tuple) else out
+            # Position-weighted fold: plain sum is permutation-invariant, so
+            # XLA hoists sorts/permutes out of the rep loop (burned us once).
+            w = jnp.arange(out.size, dtype=jnp.uint32).reshape(out.shape)
+            return carry + jnp.sum(out.astype(jnp.uint32) * (w ^ i)), None
         tot, _ = jax.lax.scan(step, jnp.uint32(0),
                               jnp.arange(reps, dtype=jnp.uint32))
         return tot
 
     compiled = jax.jit(scanned).lower(*args).compile()
-    r = compiled(*args).block_until_ready()  # warmup
-    best = float("inf")
+    np.asarray(compiled(*args))  # warmup; VALUE fetch — under the axon
+    best = float("inf")          # plugin block_until_ready does not block
     for _ in range(number):
         t0 = time.perf_counter()
-        compiled(*args).block_until_ready()
+        np.asarray(compiled(*args))
         best = min(best, time.perf_counter() - t0)
     per_rep = best / reps
     print(f"{name:58s} {per_rep*1e3:9.3f} ms   {per_rep/n_rows*1e9:8.3f} ns/row")

@@ -92,7 +92,9 @@ def test_merge_validity_padding():
     assert got == oracle_count(bk[:300], pk[:600])
 
 
-def test_cost_model_picks_merge_for_symmetric():
-    assert choose_plan(10_000_000, 10_000_000, DEFAULT_CONFIG).strategy == "merge"
-    assert choose_plan(100_000, 100_000_000, DEFAULT_CONFIG).strategy in (
-        "global", "partitioned")
+def test_cost_model_picks_partitioned_for_large():
+    assert choose_plan(10_000_000, 10_000_000, DEFAULT_CONFIG).strategy == (
+        "partitioned")
+    assert choose_plan(100_000, 100_000_000, DEFAULT_CONFIG).strategy == (
+        "partitioned")
+    assert choose_plan(1_000, 200_000, DEFAULT_CONFIG).strategy == "vmem"

@@ -1,0 +1,185 @@
+"""Range table + windowed Pallas probe (interpret mode on CPU).
+
+The partitioned ("radix") strategy's engine: hash-sorted build reshaped
+into rank-balanced lane-columns, hash-sorted probes resolved by a windowed
+binary-search-plus-scan kernel (ops/range_table.py, ops/pallas/range_probe).
+Oracle parity across adversarial distributions plus the unresolved-probe
+fallback protocol.
+"""
+
+import collections
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flash_hash_join_tpu.ops import range_table as rt
+from flash_hash_join_tpu.utils import u64
+from tests.oracle import oracle_count
+
+M64 = np.uint64(2**64 - 1)
+
+
+def _args(bk, bv, pk, nb=None, npr=None):
+    kh, kl = u64.split_u64(bk)
+    vh, vl = u64.split_u64(bv)
+    ph, pl = u64.split_u64(pk)
+    return (jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(vh),
+            jnp.asarray(vl), jnp.asarray(ph), jnp.asarray(pl),
+            jnp.int32(nb if nb is not None else len(bk)),
+            jnp.int32(npr if npr is not None else len(pk)))
+
+
+def _count(bk, bv, pk, allow_unresolved=False, **kw):
+    c, special = rt.range_join_count(*_args(bk, bv, pk), interpret=True, **kw)
+    if not allow_unresolved:
+        assert int(special[3]) == 0
+    return int(c), int(special[3])
+
+
+def _materialize(bk, bv, pk, **kw):
+    out = rt.range_join_materialize(*_args(bk, bv, pk), interpret=True, **kw)
+    count = int(out[0])
+    keys = u64.join_u64(np.asarray(out[1]), np.asarray(out[2]))[:count]
+    vals = u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:count]
+    return count, keys, vals, int(out[5][3])
+
+
+@pytest.mark.parametrize("nb,npr", [(700, 5000), (20_000, 60_000),
+                                    (60_000, 20_000)])
+def test_range_count_random(nb, npr):
+    rng = np.random.default_rng(nb + npr)
+    bk = rng.integers(0, int(nb * 1.5), nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, int(nb * 1.5), npr, dtype=np.uint64)
+    c, _ = _count(bk, bv, pk)
+    assert c == oracle_count(bk, pk)
+
+
+def test_range_count_match_extremes():
+    rng = np.random.default_rng(0)
+    bk = rng.integers(0, 2**63, 10_000, dtype=np.uint64)
+    bv = bk + np.uint64(1)
+    # 0% match: disjoint key ranges
+    pk = rng.integers(2**63, 2**64 - 2, 30_000, dtype=np.uint64)
+    c, _ = _count(bk, bv, pk)
+    assert c == 0
+    # 100% match
+    pk = rng.choice(bk, 30_000)
+    c, _ = _count(bk, bv, pk)
+    assert c == 30_000
+
+
+def test_range_count_sentinel_key():
+    rng = np.random.default_rng(1)
+    bk = rng.integers(0, 1000, 5000, dtype=np.uint64)
+    bk[17] = M64
+    bv = np.arange(5000, dtype=np.uint64)
+    pk = np.concatenate([rng.integers(0, 1000, 7000, dtype=np.uint64),
+                         np.full(9, M64, np.uint64)])
+    c, _ = _count(bk, bv, pk)
+    assert c == oracle_count(bk, pk)
+    # and when the build does NOT contain the max key
+    bk2 = np.where(bk == M64, np.uint64(5), bk)
+    c2, _ = _count(bk2, bv, pk)
+    assert c2 == oracle_count(bk2, pk)
+
+
+def test_range_count_zipf_skew():
+    rng = np.random.default_rng(2)
+    zipf = np.minimum(rng.zipf(1.3, 40_000), 2**40).astype(np.uint64)
+    bk = zipf
+    bv = bk * np.uint64(3)
+    pk = np.minimum(rng.zipf(1.3, 90_000), 2**40).astype(np.uint64)
+    c, unres = _count(bk, bv, pk, allow_unresolved=True)
+    if unres == 0:
+        assert c == oracle_count(bk, pk)
+
+
+def test_range_unresolved_triggers_on_giant_dup_run():
+    """Millions of copies of one build key inflate ranks past any window;
+    the kernel must REPORT unresolved probes (engine then falls back) —
+    never silently undercount."""
+    nb = 120_000
+    bk = np.full(nb, 42, np.uint64)
+    bk[: 2000] = np.arange(2000, dtype=np.uint64) + 100
+    bv = np.arange(nb, dtype=np.uint64)
+    rng = np.random.default_rng(3)
+    pk = rng.integers(0, 4000, 50_000, dtype=np.uint64)
+    c, unres = _count(bk, bv, pk, allow_unresolved=True)
+    if unres == 0:
+        assert c == oracle_count(bk, pk)
+    else:
+        assert unres > 0  # exactness protocol: caller must rerun
+
+
+def test_range_count_padding_and_nvalid():
+    rng = np.random.default_rng(4)
+    bk = rng.integers(0, 500, 3000, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, 3000, dtype=np.uint64)
+    pk = rng.integers(0, 500, 10_000, dtype=np.uint64)
+    args = _args(bk, bv, pk, nb=2000, npr=7000)
+    c, special = rt.range_join_count(*args, interpret=True)
+    assert int(special[3]) == 0
+    assert int(c) == oracle_count(bk[:2000], pk[:7000])
+
+
+def test_range_materialize_values_unique_keys():
+    rng = np.random.default_rng(5)
+    bk = rng.permutation(np.arange(30_000, dtype=np.uint64))
+    bv = bk * np.uint64(7) + np.uint64(1)
+    pk = rng.integers(0, 60_000, 50_000, dtype=np.uint64)
+    c, keys, vals, unres = _materialize(bk, bv, pk)
+    assert unres == 0
+    assert c == oracle_count(bk, pk)
+    # exact value parity on unique build keys
+    assert np.all(vals == keys * np.uint64(7) + np.uint64(1))
+    # key multiset parity
+    want = collections.Counter(
+        k for k in pk.tolist() if k < 30_000)
+    assert collections.Counter(keys.tolist()) == want
+
+
+def test_range_materialize_dups_and_sentinel():
+    rng = np.random.default_rng(6)
+    bk = rng.integers(0, 300, 4000, dtype=np.uint64)
+    bk[7] = M64
+    bv = rng.integers(0, 2**63, 4000, dtype=np.uint64)
+    pk = np.concatenate([rng.integers(0, 400, 9000, dtype=np.uint64),
+                         np.full(3, M64, np.uint64)])
+    c, keys, vals, unres = _materialize(bk, bv, pk)
+    assert unres == 0
+    assert c == oracle_count(bk, pk)
+    first = {}
+    for k, v in zip(bk.tolist(), bv.tolist()):
+        first.setdefault(k, v)
+    assert all(k in first for k in keys.tolist())
+    want = collections.Counter(k for k in pk.tolist() if k in first)
+    assert collections.Counter(keys.tolist()) == want
+    # sentinel value is the first max-key build row's value
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        if k == int(M64):
+            assert v == first[int(M64)]
+
+
+def test_range_tiny_build_and_probe():
+    bk = np.array([5, 9], dtype=np.uint64)
+    bv = np.array([50, 90], dtype=np.uint64)
+    pk = np.array([9, 9, 5, 1], dtype=np.uint64)
+    c, keys, vals, unres = _materialize(bk, bv, pk)
+    assert unres == 0
+    assert c == 3
+    assert sorted(zip(keys.tolist(), vals.tolist())) == [
+        (5, 50), (9, 90), (9, 90)]
+
+
+def test_plan_window_bounds():
+    assert rt.plan_window(10, 10) >= 1
+    assert rt.plan_window(40_000_000, 40_000_000) >= 2
+    # huge build / small probe stays capped
+    assert rt.plan_window(100_000_000, 1_000) <= 64
+    # window never exceeds the table's super-row count
+    C = 32
+    S = max(1, -(-1000 // (128 * C)))
+    assert rt.plan_window(1000, 10_000_000) <= S
