@@ -35,7 +35,8 @@ def log(*a):
     print(*a, flush=True)
 
 
-def run_one(label: str, task: str, fn, oracle_count: int, results: list):
+def run_one(label: str, task: str, fn, oracle_count: int, results: list,
+            case: str = ""):
     t0 = time.perf_counter()
     count, core = fn()
     total = time.perf_counter() - t0
@@ -46,7 +47,7 @@ def run_one(label: str, task: str, fn, oracle_count: int, results: list):
         log(f"    PARITY FAILURE: {label}/{task}: got {count}, oracle {oracle_count}")
     results.append(
         {"label": label, "task": task, "total": total, "core": core,
-         "count": count, "ok": ok})
+         "count": count, "ok": ok, "case": case})
     return ok
 
 
@@ -84,10 +85,17 @@ def load_csv_suites(data_dir: str):
     return suites
 
 
-def gen_suites(n: int, seed: int):
-    from flash_hash_join_tpu.models.workload import j1_suite
+def gen_suites(n: int, seed: int, with_lowmatch: bool = True):
+    from flash_hash_join_tpu.models.workload import j1_suite, uniform_case
     cases = [(c.name, c.build_keys, c.build_values, c.probe_keys)
              for c in j1_suite(n, seed)]
+    if with_lowmatch:
+        # BASELINE.json config #3 shape (scaled): big build, 5% match —
+        # the case where the blocked bloom filter prunes probe gathers on
+        # the global-table path (hash_join.cpp:165, :183-189).
+        c = uniform_case(max(n // 4, 1), n, match_rate=0.05, seed=seed)
+        cases.append((f"{n:.0e}-QB5".replace("+", ""),
+                      c.build_keys, c.build_values, c.probe_keys))
     return [(f"{n:.0e}".replace("+", ""), cases)]
 
 
@@ -99,6 +107,106 @@ def oracle(bk, pk) -> int:
         return int(np.isin(pk, np.unique(bk)).sum())
 
 
+def _pair_multiset(keys, vals):
+    """Order-insensitive (key, value) pair representation for comparison."""
+    pairs = np.stack([np.asarray(keys, np.uint64),
+                      np.asarray(vals, np.uint64)], axis=1)
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    return pairs[order]
+
+
+def check_values(bk, bv, pk, strategies=("merge", "global", "partitioned")):
+    """Materialized VALUE parity (VERDICT round-1 item 7): every strategy's
+    (probe_key, value) multiset must equal the host oracle's.
+
+    Output order is strategy-dependent by contract (the reference's own
+    order is thread-interleaved, SURVEY.md §3), so rows are compared as
+    sorted multisets.  On duplicate build keys the dedup winner is also
+    strategy-specific (reference winner is a data race, hash_join.cpp:147),
+    so exact pair parity is asserted only for unique-key builds; otherwise
+    each emitted value must be SOME build value of its key.
+    """
+    import flash_hash_join_tpu as fj
+    try:
+        from flash_hash_join_tpu.utils.native import host_join_materialize
+        ok_ref, ov_ref = host_join_materialize(bk, bv, pk)
+    except Exception:
+        uniq, idx = np.unique(bk, return_index=True)
+        mask = np.isin(pk, uniq)
+        ok_ref = pk[mask]
+        ov_ref = bv[idx[np.searchsorted(uniq, ok_ref)]]
+    unique_build = len(np.unique(bk)) == len(bk)
+    ref_pairs = _pair_multiset(ok_ref, ov_ref)
+
+    all_ok = True
+    for strat in strategies:
+        try:
+            _, _, keys, vals = fj.join_materialize(
+                bk, bv, pk, strategy=strat, return_arrays=True)
+        except Exception as e:  # pragma: no cover - surface, don't mask
+            log(f"    VALUE CHECK ERROR [{strat}]: {e}")
+            all_ok = False
+            continue
+        if unique_build:
+            got = _pair_multiset(keys, vals)
+            same = got.shape == ref_pairs.shape and np.array_equal(
+                got, ref_pairs)
+        else:
+            same = np.array_equal(np.sort(np.asarray(keys, np.uint64)),
+                                  np.sort(ok_ref))
+            if same:
+                # each value must belong to its key: vectorized (key,
+                # value) pair membership in the build set via a struct view
+                bp = _pair_multiset(bk, bv)
+                gp = _pair_multiset(keys, vals)
+                bview = np.ascontiguousarray(bp).view(
+                    [("k", np.uint64), ("v", np.uint64)]).ravel()
+                gview = np.ascontiguousarray(gp).view(
+                    [("k", np.uint64), ("v", np.uint64)]).ravel()
+                same = bool(np.isin(gview, bview).all())
+        status = "OK" if same else "MISMATCH"
+        log(f"    VALUES,Strategy={strat},Result={status}")
+        all_ok &= same
+    return all_ok
+
+
+def plot_results(results, task: str, outfile: str):
+    """Grouped bar chart of core times per case x impl — the reference's
+    two PNG artifacts (/root/reference/benchmark.py:95-145, :297-300)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        log(f"matplotlib unavailable; skipping {outfile}")
+        return
+    rows = [r for r in results if r["task"] == task]
+    if not rows:
+        return
+    cases = sorted({r["case"] for r in rows})
+    labels = sorted({r["label"] for r in rows})
+    width = 0.8 / max(len(labels), 1)
+    fig, ax = plt.subplots(figsize=(max(8, 2.2 * len(cases)), 5))
+    for j, label in enumerate(labels):
+        xs, ys = [], []
+        for i, case in enumerate(cases):
+            match = [r for r in rows if r["case"] == case
+                     and r["label"] == label]
+            if match:
+                xs.append(i + j * width)
+                ys.append(match[0]["core"])
+        bars = ax.bar(xs, ys, width=width, label=label)
+        ax.bar_label(bars, fmt="%.3f", fontsize=6, rotation=90, padding=2)
+    ax.set_xticks([i + 0.4 for i in range(len(cases))])
+    ax.set_xticklabels(cases, fontsize=8)
+    ax.set_ylabel("core seconds (device execution)")
+    ax.set_title(f"flash_hash_join_tpu — {task}")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=120)
+    log(f"wrote {outfile}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", type=str, default=None)
@@ -106,6 +214,10 @@ def main():
                     help="generate a J1-shaped suite with this many probe rows")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--impls", nargs="*", default=None)
+    ap.add_argument("--check-values-max", type=int, default=4_000_000,
+                    help="run materialized-VALUE parity checks on cases "
+                         "with at most this many probe rows")
+    ap.add_argument("--no-charts", action="store_true")
     args = ap.parse_args()
 
     import flash_hash_join_tpu as fj
@@ -146,14 +258,20 @@ def main():
             for label, (count_fn, mat_fn) in impl_map.items():
                 all_ok &= run_one(label, "join_count",
                                   lambda f=count_fn: f(bk, bv, pk),
-                                  expected, results)
+                                  expected, results, case=case_id)
                 all_ok &= run_one(label, "join_materialize",
                                   lambda f=mat_fn: f(bk, bv, pk),
-                                  expected, results)
+                                  expected, results, case=case_id)
+            if len(pk) <= args.check_values_max:
+                all_ok &= check_values(bk, bv, pk)
 
     log("=" * 70)
     n_fail = sum(1 for r in results if not r["ok"])
     log(f"{len(results)} runs, {n_fail} parity failures")
+    if not args.no_charts:
+        plot_results(results, "join_count", "benchmark_join_count.png")
+        plot_results(results, "join_materialize",
+                     "benchmark_join_materialize.png")
     sys.exit(0 if all_ok else 1)
 
 

@@ -9,6 +9,24 @@ plus `initialize()`.  All take numpy uint64 (build_keys, build_values,
 probe_keys) and return (count, core_seconds).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: the engine AOT-compiles one XLA program per
+# (shape, strategy, mode) signature (engine.py) and TPU compiles cost
+# minutes through a tunnel; caching them is the analog of the reference
+# shipping a prebuilt .so.  Opt out with FHJ_NO_COMPILE_CACHE=1.
+if not _os.environ.get("FHJ_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "FHJ_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "fhj_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs
+
 from flash_hash_join_tpu.api import (  # noqa: F401
     adaptive_join,
     adaptive_join_bloom,
@@ -27,4 +45,4 @@ from flash_hash_join_tpu.api import (  # noqa: F401
     join_materialize,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

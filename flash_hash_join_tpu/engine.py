@@ -97,7 +97,8 @@ def vmem_materialize_graph(*args, r_slots, interpret):
 
 @functools.lru_cache(maxsize=256)
 def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
-              use_bloom: bool, cfg: JoinConfig, gbits: int):
+              use_bloom: bool, cfg: JoinConfig, gbits: int,
+              narrow: bool = False):
     """AOT-compile the join graph for a shape/config signature."""
     if strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
@@ -110,8 +111,10 @@ def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
         interpret = jax.default_backend() == "cpu"
         base = (rt.range_join_count if mode == "count"
                 else rt.range_join_materialize)
+        # narrow: 32-bit keys (checked by the caller) — key-ordered table,
+        # 1-word compares, half the sort width
         fn = functools.partial(base, W=rt.plan_window(n_build, n_probe),
-                               interpret=interpret)
+                               narrow=narrow, interpret=interpret)
     else:  # "global"
         graph = join_count_graph if mode == "count" else join_materialize_graph
         fn = functools.partial(graph, cfg=cfg, gbits=gbits,
@@ -137,11 +140,13 @@ class JoinEngine:
     def plan(self, n_build: int, n_probe: int):
         return choose_plan(n_build, n_probe, self.cfg)
 
-    def prepare(self, n_build, n_probe, mode, strategy, use_bloom, gbits=None):
+    def prepare(self, n_build, n_probe, mode, strategy, use_bloom,
+                gbits=None, narrow=False):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         return _compiled(
-            n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits
+            n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits,
+            narrow,
         )
 
     def run(self, compiled, device_args):

@@ -1,34 +1,40 @@
-"""Pallas TPU kernel: windowed probe of the hash-sorted range table.
+"""Pallas TPU kernel: windowed probe of the sorted range table.
 
 The large-build probe path (reference regime: radix join, hash_join.cpp:
 316-381, 498-534).  The TPU-native replacement for per-partition hash
-tables is a RANGE table (ops/range_table.py): all build rows hash-sorted,
-reshaped into (S, C, 128) blocks where lane-column (s, l) holds the C keys
-ranked [s*128*C + l*C, +C) — rank-balanced columns, load factor 1.0, built
-with zero scatters.
+tables is a RANGE table (ops/range_table.py): all build rows sorted by a
+tuple of uint32 ORDER WORDS, reshaped into (S, C, 128) blocks where
+lane-column (s, l) holds the C keys ranked [s*128*C + l*C, +C) —
+rank-balanced columns, load factor 1.0, built with zero scatters.
 
-Probe rows arrive hash-sorted too, tiled (TM, 128).  Because both sides
-share one lexicographic (hash, key) order, a probe tile's matches live in
-a narrow, monotone band of table columns; the kernel loads a W-super-row
-window over that band (start row scalar-prefetched per tile; Pallas skips
-re-DMA when consecutive tiles map to the same window rows) and resolves
-each probe with:
+Two instantiations share this kernel (static `n_words` / `key_ix`):
+  wide   — order words (hash, key_hi, key_lo): hash-ordered, robust to any
+           key distribution (the hash uniformizes both sides).
+  narrow — order word (key_lo,) for 32-bit keys: key-ordered, 1-word
+           compares, half the sort width; key-space skew beyond the window
+           is caught by the unresolved counter (exact fallback).
 
-  1. column search: per window super-row, a 7-round binary search over the
-     128 boundary lanes (lexicographic on (hash, key_hi, key_lo)) via
-     per-lane dynamic_gather -> global column index, summed across rows;
-  2. column scan: for each of the window's W*C slot-rows, gather the
-     probe's own column lane and compare keys (same primitive as
+Probe rows arrive sorted by the same words, tiled (TM, 128).  A tile's
+matches live in a narrow monotone band of table columns; the kernel loads
+a W-super-row window over that band (start row scalar-prefetched per tile;
+Pallas skips re-DMA when consecutive tiles map to the same rows):
+
+  1. column search: per window super-row, an 8-step binary search over the
+     128 boundary lanes (lexicographic over the order words) via per-lane
+     dynamic_gather -> window-local column index, summed across rows;
+  2. column scan: for each of the W*C slot-rows, gather the probe's own
+     column lane and compare key planes (same per-lane-gather primitive as
      ops/pallas/bucket_probe.py).
 
-Cost per probe ~ (8*W*C + 9*7*W)/1024 vector ops — ~0.6 at C=32, W=2 —
-vs ~7-12 ns for an XLA HBM gather (scripts/microbench.py).
+Cost per probe ~ (8*W*C + 3*n_words*8*W)/1024 vector ops — ~0.6 at the
+default C=32, W=2 — vs ~7-12 ns/row for an XLA HBM gather
+(scripts/microbench.py, value-fetch timed).
 
 Exactness: a probe lexicographically >= the window's end boundary may have
-matches beyond the window (possible only when duplicate/tie runs inflate
-ranks, e.g. millions of copies of one build key); such probes are COUNTED
-as unresolved and the engine falls back to the always-exact merge strategy
-— the same special[3] protocol as bucket-table overflow (api.py).
+matches beyond the window (duplicate/tie runs can inflate ranks past any
+static W); such probes are COUNTED as unresolved and the engine falls back
+to the always-exact merge strategy — the same special[3] protocol as
+bucket-table overflow (api.py).
 """
 
 from __future__ import annotations
@@ -45,10 +51,25 @@ LANES = 128
 DEFAULT_C = 32
 DEFAULT_TILE_M = 32
 
+# (n_words, key_ix): which probe word planes exist and which of them are
+# key planes (compared against table key planes during the scan).
+WIDE = (3, (1, 2))     # words (h, kh, kl); keys = (kh, kl)
+NARROW = (1, (0,))     # words (kl,);       keys = (kl,)
 
-def _lex_le(bh, bkh, bkl, h, kh, kl):
-    """(bh,bkh,bkl) <= (h,kh,kl) lexicographic on uint32 words."""
-    return (bh < h) | ((bh == h) & ((bkh < kh) | ((bkh == kh) & (bkl <= kl))))
+
+def _lex_le(bnd_words, probe_words):
+    """boundary <= probe, lexicographic over uint32 word tuples."""
+    le = None
+    eq_prefix = None
+    for i, (b, p) in enumerate(zip(bnd_words, probe_words)):
+        last = i == len(bnd_words) - 1
+        cmp_i = (b <= p) if last else (b < p)
+        term = cmp_i if eq_prefix is None else (eq_prefix & cmp_i)
+        le = term if le is None else (le | term)
+        if not last:
+            eq_i = b == p
+            eq_prefix = eq_i if eq_prefix is None else (eq_prefix & eq_i)
+    return le
 
 
 def _gather_lanes(row_tile, idx):
@@ -56,144 +77,139 @@ def _gather_lanes(row_tile, idx):
     return jnp.take_along_axis(row_tile, idx, axis=1)
 
 
-def _row_search(bnd_h, bnd_kh, bnd_kl, h, kh, kl):
+def _row_search(bnd_rows, probe_words):
     """Per-probe count of one super-row's boundary lanes lex-<= probe.
 
-    bnd_*: (1, 128) sorted boundary words; h/kh/kl: (TM, 128) probes.
-    Returns (TM, 128) int32 insertion points in [0, 128] via a 7-step
-    binary search (dynamic_gather per trial index).
+    bnd_rows: tuple of (1, 128) sorted boundary word rows; probe_words:
+    tuple of (TM, 128) tiles.  Returns int32 insertion points in [0, 128]
+    via an 8-step binary search (steps sum to 128; `at` stays in range).
     """
-    shape = h.shape
+    shape = probe_words[0].shape
     cnt = jnp.zeros(shape, jnp.int32)
-    bh_t = jnp.broadcast_to(bnd_h, shape)
-    bkh_t = jnp.broadcast_to(bnd_kh, shape)
-    bkl_t = jnp.broadcast_to(bnd_kl, shape)
-    # steps sum to 128 (the final repeated 1) so cnt can reach 128 when
-    # every boundary is <= the probe; `at` stays in [0, 127] throughout.
+    bts = [jnp.broadcast_to(b, shape) for b in bnd_rows]
     for step in (64, 32, 16, 8, 4, 2, 1, 1):
         trial = cnt + step
         at = trial - 1  # in [0, 127]
-        gh = _gather_lanes(bh_t, at)
-        gkh = _gather_lanes(bkh_t, at)
-        gkl = _gather_lanes(bkl_t, at)
-        ok = _lex_le(gh, gkh, gkl, h, kh, kl)
+        gathered = tuple(_gather_lanes(bt, at) for bt in bts)
+        ok = _lex_le(gathered, probe_words)
         cnt = jnp.where(ok, trial, cnt)
     return cnt
 
 
-def _split_refs(refs, W, with_values):
-    """Kernel ref layout shared by count and materialize kernels."""
+def _layout(refs, W, n_words, n_keys, with_values):
+    """Split the flat kernel ref list into named groups."""
     nb = W + 1
-    bnd_h = refs[0:nb]
-    bnd_kh = refs[nb : 2 * nb]
-    bnd_kl = refs[2 * nb : 3 * nb]
-    base = 3 * nb
-    tk_hi = refs[base : base + W]
-    tk_lo = refs[base + W : base + 2 * W]
+    bnds = [refs[i * nb : (i + 1) * nb] for i in range(n_words)]
+    base = n_words * nb
+    tks = [refs[base + i * W : base + (i + 1) * W] for i in range(n_keys)]
+    base += n_keys * W
     if with_values:
-        tv_hi = refs[base + 2 * W : base + 3 * W]
-        tv_lo = refs[base + 3 * W : base + 4 * W]
-        rest = refs[base + 4 * W :]
-        return bnd_h, bnd_kh, bnd_kl, tk_hi, tk_lo, tv_hi, tv_lo, rest
-    rest = refs[base + 2 * W :]
-    return bnd_h, bnd_kh, bnd_kl, tk_hi, tk_lo, None, None, rest
+        tvs = [refs[base + i * W : base + (i + 1) * W] for i in range(2)]
+        base += 2 * W
+    else:
+        tvs = None
+    probes = refs[base : base + n_words]
+    rest = refs[base + n_words :]
+    return bnds, tks, tvs, probes, rest
 
 
-def _search_and_flags(W, bnd_h, bnd_kh, bnd_kl, h, ph, pl_):
+def _search(W, bnds, probe_words, key_words):
     """Window-local column index + unresolved mask for a probe tile."""
-    shape = h.shape
+    shape = probe_words[0].shape
     empty = jnp.uint32(EMPTY32_INT)
-    probe_is_empty = (ph == empty) & (pl_ == empty)
+    probe_is_empty = None
+    for kw in key_words:
+        e = kw == empty
+        probe_is_empty = e if probe_is_empty is None else (probe_is_empty & e)
 
     col = jnp.full(shape, -1, jnp.int32)
     for w in range(W):
-        col += _row_search(bnd_h[w][:][0], bnd_kh[w][:][0], bnd_kl[w][:][0],
-                           h, ph, pl_)
+        rows = tuple(b[w][:][0] for b in bnds)  # (1, 128) each
+        col += _row_search(rows, probe_words)
 
-    eb_h = jnp.broadcast_to(bnd_h[W][0, 0, 0], shape)
-    eb_kh = jnp.broadcast_to(bnd_kh[W][0, 0, 0], shape)
-    eb_kl = jnp.broadcast_to(bnd_kl[W][0, 0, 0], shape)
-    unresolved = _lex_le(eb_h, eb_kh, eb_kl, h, ph, pl_) & ~probe_is_empty
+    endb = tuple(jnp.broadcast_to(b[W][0, 0, 0], shape) for b in bnds)
+    unresolved = _lex_le(endb, probe_words) & ~probe_is_empty
     return col, unresolved
 
 
-def _count_kernel(W, C, wstart_ref, *refs):
-    bnd_h, bnd_kh, bnd_kl, tk_hi, tk_lo, _, _, rest = _split_refs(
-        refs, W, with_values=False)
-    h_ref, ph_ref, pl_ref, out_ref = rest
-    h, ph, pl_ = h_ref[:], ph_ref[:], pl_ref[:]
-    shape = h.shape
+def _scan_hits(W, C, col, tks, tvs, key_words):
+    """Scan the window's W*C slot-rows; returns (hit[, vh, vl])."""
+    shape = key_words[0].shape
     empty = jnp.uint32(EMPTY32_INT)
-
-    col, unresolved = _search_and_flags(W, bnd_h, bnd_kh, bnd_kl, h, ph, pl_)
-
     hit = jnp.zeros(shape, jnp.bool_)
+    vh = jnp.zeros(shape, jnp.uint32) if tvs is not None else None
+    vl = jnp.zeros(shape, jnp.uint32) if tvs is not None else None
     for w in range(W):
         lane = col - w * LANES
         active = (lane >= 0) & (lane < LANES)
         lane_c = jnp.clip(lane, 0, LANES - 1)
         for c in range(C):
-            g_hi = _gather_lanes(
-                jnp.broadcast_to(tk_hi[w][0, c : c + 1, :], shape), lane_c)
-            g_lo = _gather_lanes(
-                jnp.broadcast_to(tk_lo[w][0, c : c + 1, :], shape), lane_c)
-            eq = ((g_hi ^ ph) | (g_lo ^ pl_)) == jnp.uint32(0)
-            not_empty = ~((g_hi == empty) & (g_lo == empty))
-            hit = hit | (eq & not_empty & active)
+            gk = [
+                _gather_lanes(
+                    jnp.broadcast_to(t[w][0, c : c + 1, :], shape), lane_c)
+                for t in tks
+            ]
+            diff = None
+            is_empty = None
+            for g, kw in zip(gk, key_words):
+                d = g ^ kw
+                diff = d if diff is None else (diff | d)
+                e = g == empty
+                is_empty = e if is_empty is None else (is_empty & e)
+            new_hit = (diff == jnp.uint32(0)) & ~is_empty & active
+            if tvs is not None:
+                new_hit = new_hit & ~hit  # first slot wins (deterministic)
+                gv_hi = _gather_lanes(
+                    jnp.broadcast_to(tvs[0][w][0, c : c + 1, :], shape),
+                    lane_c)
+                gv_lo = _gather_lanes(
+                    jnp.broadcast_to(tvs[1][w][0, c : c + 1, :], shape),
+                    lane_c)
+                vh = jnp.where(new_hit, gv_hi, vh)
+                vl = jnp.where(new_hit, gv_lo, vl)
+            hit = hit | new_hit
+    return hit, vh, vl
 
-    total = jnp.sum(hit.astype(jnp.int32))
-    n_unres = jnp.sum(unresolved.astype(jnp.int32))
+
+def _stat_tile(a, b):
+    """(8,128) int32 tile carrying two scalars at lanes 0 and 1."""
     r_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     c_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    out_ref[:] = jnp.where((r_ == 0) & (c_ == 0), total,
-                           jnp.where((r_ == 0) & (c_ == 1), n_unres, 0))
+    return jnp.where((r_ == 0) & (c_ == 0), a,
+                     jnp.where((r_ == 0) & (c_ == 1), b, 0))
 
 
-def _materialize_kernel(W, C, wstart_ref, *refs):
-    bnd_h, bnd_kh, bnd_kl, tk_hi, tk_lo, tv_hi, tv_lo, rest = _split_refs(
-        refs, W, with_values=True)
-    h_ref, ph_ref, pl_ref, hit_ref, vh_ref, vl_ref, unres_ref = rest
-    h, ph, pl_ = h_ref[:], ph_ref[:], pl_ref[:]
-    shape = h.shape
-    empty = jnp.uint32(EMPTY32_INT)
+def _count_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
+    bnds, tks, _, probes, rest = _layout(refs, W, n_words, len(key_ix),
+                                         with_values=False)
+    (out_ref,) = rest
+    probe_words = tuple(p[:] for p in probes)
+    key_words = tuple(probe_words[i] for i in key_ix)
+    col, unresolved = _search(W, bnds, probe_words, key_words)
+    hit, _, _ = _scan_hits(W, C, col, tks, None, key_words)
+    out_ref[:] = _stat_tile(jnp.sum(hit.astype(jnp.int32)),
+                            jnp.sum(unresolved.astype(jnp.int32)))
 
-    col, unresolved = _search_and_flags(W, bnd_h, bnd_kh, bnd_kl, h, ph, pl_)
 
-    hit = jnp.zeros(shape, jnp.bool_)
-    vh = jnp.zeros(shape, jnp.uint32)
-    vl = jnp.zeros(shape, jnp.uint32)
-    for w in range(W):
-        lane = col - w * LANES
-        active = (lane >= 0) & (lane < LANES)
-        lane_c = jnp.clip(lane, 0, LANES - 1)
-        for c in range(C):
-            g_hi = _gather_lanes(
-                jnp.broadcast_to(tk_hi[w][0, c : c + 1, :], shape), lane_c)
-            g_lo = _gather_lanes(
-                jnp.broadcast_to(tk_lo[w][0, c : c + 1, :], shape), lane_c)
-            eq = ((g_hi ^ ph) | (g_lo ^ pl_)) == jnp.uint32(0)
-            not_empty = ~((g_hi == empty) & (g_lo == empty))
-            new_hit = eq & not_empty & active & ~hit  # first slot wins
-            gv_hi = _gather_lanes(
-                jnp.broadcast_to(tv_hi[w][0, c : c + 1, :], shape), lane_c)
-            gv_lo = _gather_lanes(
-                jnp.broadcast_to(tv_lo[w][0, c : c + 1, :], shape), lane_c)
-            vh = jnp.where(new_hit, gv_hi, vh)
-            vl = jnp.where(new_hit, gv_lo, vl)
-            hit = hit | new_hit
-
+def _materialize_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
+    bnds, tks, tvs, probes, rest = _layout(refs, W, n_words, len(key_ix),
+                                           with_values=True)
+    hit_ref, vh_ref, vl_ref, unres_ref = rest
+    probe_words = tuple(p[:] for p in probes)
+    key_words = tuple(probe_words[i] for i in key_ix)
+    col, unresolved = _search(W, bnds, probe_words, key_words)
+    hit, vh, vl = _scan_hits(W, C, col, tks, tvs, key_words)
     hit_ref[:] = hit.astype(jnp.uint32)
     vh_ref[:] = vh
     vl_ref[:] = vl
-    n_unres = jnp.sum(unresolved.astype(jnp.int32))
-    r_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
-    unres_ref[:] = jnp.where((r_ == 0) & (c_ == 0), n_unres, 0)
+    unres_ref[:] = _stat_tile(jnp.sum(unresolved.astype(jnp.int32)),
+                              jnp.int32(0))
 
 
-def _in_specs(W, C, TM, with_values):
+def _in_specs(W, C, TM, n_words, n_keys, with_values):
     def bnd_spec(w):
-        # boundary arrays are (S+1, 1, 128); block = one super-row of them
+        # boundary arrays are (S+1, 1, 128); block (1, 1, 128) satisfies
+        # Mosaic's trailing-dims rule (middle dim equals the array's).
         return pl.BlockSpec((1, 1, LANES),
                             lambda t, ws, w=w: (ws[t] + w, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -205,93 +221,90 @@ def _in_specs(W, C, TM, with_values):
 
     probe_spec = pl.BlockSpec((TM, LANES), lambda t, ws: (t, 0),
                               memory_space=pltpu.VMEM)
-    specs = (
-        [bnd_spec(w) for w in range(W + 1)]
-        + [bnd_spec(w) for w in range(W + 1)]
-        + [bnd_spec(w) for w in range(W + 1)]
-        + [tab_spec(w) for w in range(W)]
-        + [tab_spec(w) for w in range(W)]
-    )
-    if with_values:
+    specs = []
+    for _ in range(n_words):
+        specs += [bnd_spec(w) for w in range(W + 1)]
+    for _ in range(n_keys + (2 if with_values else 0)):
         specs += [tab_spec(w) for w in range(W)]
-        specs += [tab_spec(w) for w in range(W)]
-    specs += [probe_spec] * 3
+    specs += [probe_spec] * n_words
     return specs
 
 
+def _operands(bnds, tks, tvs, probes, W):
+    ops = []
+    for b in bnds:
+        ops += [b] * (W + 1)
+    for t in tks:
+        ops += [t] * W
+    for t in tvs or ():
+        ops += [t] * W
+    ops += list(probes)
+    return ops
+
+
 @functools.partial(
-    jax.jit, static_argnames=("W", "C", "tile_m", "interpret"))
-def range_probe_count(bnd_h, bnd_kh, bnd_kl, tk_hi, tk_lo,
-                      h_blocks, ph_blocks, pl_blocks, wstart, *,
+    jax.jit,
+    static_argnames=("W", "C", "tile_m", "layout", "interpret"))
+def range_probe_count(bnds, tks, probes, wstart, *,
                       W: int, C: int = DEFAULT_C,
                       tile_m: int = DEFAULT_TILE_M,
-                      interpret: bool = False):
-    """Count matches of hash-sorted probe tiles against the range table.
+                      layout=WIDE, interpret: bool = False):
+    """Count matches of sorted probe tiles against the range table.
 
-    bnd_*: (S+1, 128) column boundaries (row S = the MAX sentinel);
-    tk_*: (S, C, 128) table key planes; *_blocks: (ntiles*tile_m, 128)
-    hash-sorted probes; wstart: (ntiles,) int32 window start super-row per
-    tile, pre-clipped to [0, S-W].  Returns (count, n_unresolved).
+    bnds: tuple of (S+1, 1, 128) boundary word arrays (one per order word,
+    row S = MAX sentinel); tks: tuple of (S, C, 128) table key planes;
+    probes: tuple of (ntiles*tile_m, 128) sorted probe word planes;
+    wstart: (ntiles,) int32 window start per tile, pre-clipped to [0, S-W].
+    Returns (count, n_unresolved) int32 scalars.
     """
+    n_words, key_ix = layout
     TM = tile_m
-    ntiles = h_blocks.shape[0] // TM
+    ntiles = probes[0].shape[0] // TM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=_in_specs(W, C, TM, with_values=False),
+        in_specs=_in_specs(W, C, TM, n_words, len(key_ix),
+                           with_values=False),
         out_specs=pl.BlockSpec((8, LANES), lambda t, ws: (t, 0),
                                memory_space=pltpu.VMEM),
     )
-    operands = (
-        [bnd_h] * (W + 1) + [bnd_kh] * (W + 1) + [bnd_kl] * (W + 1)
-        + [tk_hi] * W + [tk_lo] * W
-        + [h_blocks, ph_blocks, pl_blocks]
-    )
     out = pl.pallas_call(
-        functools.partial(_count_kernel, W, C),
+        functools.partial(_count_kernel, W, C, n_words, key_ix),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles * 8, LANES), jnp.int32),
         interpret=interpret,
-    )(wstart, *operands)
-    count = jnp.sum(out[::8, 0])
-    unresolved = jnp.sum(out[::8, 1])
-    return count, unresolved
+    )(wstart, *_operands(bnds, tks, None, probes, W))
+    return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("W", "C", "tile_m", "interpret"))
-def range_probe_materialize(bnd_h, bnd_kh, bnd_kl, tk_hi, tk_lo,
-                            tv_hi, tv_lo,
-                            h_blocks, ph_blocks, pl_blocks, wstart, *,
+    jax.jit,
+    static_argnames=("W", "C", "tile_m", "layout", "interpret"))
+def range_probe_materialize(bnds, tks, tvs, probes, wstart, *,
                             W: int, C: int = DEFAULT_C,
                             tile_m: int = DEFAULT_TILE_M,
-                            interpret: bool = False):
-    """Materializing variant: returns (hit, vh, vl, n_unresolved) with
-    hit/vh/vl shaped like the probe blocks (probe-sorted order)."""
+                            layout=WIDE, interpret: bool = False):
+    """Materializing variant: (hit, vh, vl, n_unresolved); hit/vh/vl are
+    shaped like the probe blocks (probe-sorted order)."""
+    n_words, key_ix = layout
     TM = tile_m
-    ntiles = h_blocks.shape[0] // TM
+    ntiles = probes[0].shape[0] // TM
     probe_out = pl.BlockSpec((TM, LANES), lambda t, ws: (t, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=_in_specs(W, C, TM, with_values=True),
+        in_specs=_in_specs(W, C, TM, n_words, len(key_ix), with_values=True),
         out_specs=(probe_out, probe_out, probe_out,
                    pl.BlockSpec((8, LANES), lambda t, ws: (t, 0),
                                 memory_space=pltpu.VMEM)),
     )
-    operands = (
-        [bnd_h] * (W + 1) + [bnd_kh] * (W + 1) + [bnd_kl] * (W + 1)
-        + [tk_hi] * W + [tk_lo] * W + [tv_hi] * W + [tv_lo] * W
-        + [h_blocks, ph_blocks, pl_blocks]
-    )
-    shape = jax.ShapeDtypeStruct(h_blocks.shape, jnp.uint32)
+    shape = jax.ShapeDtypeStruct(probes[0].shape, jnp.uint32)
     hit, vh, vl, unres = pl.pallas_call(
-        functools.partial(_materialize_kernel, W, C),
+        functools.partial(_materialize_kernel, W, C, n_words, key_ix),
         grid_spec=grid_spec,
-        out_shape=(shape, shape,
-                   jax.ShapeDtypeStruct(h_blocks.shape, jnp.uint32),
+        out_shape=(shape, shape, shape,
                    jax.ShapeDtypeStruct((ntiles * 8, LANES), jnp.int32)),
         interpret=interpret,
-    )(wstart, *operands)
+    )(wstart, *_operands(bnds, tks, tvs, probes, W))
     return hit, vh, vl, jnp.sum(unres[::8, 0])

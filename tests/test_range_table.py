@@ -183,3 +183,45 @@ def test_plan_window_bounds():
     C = 32
     S = max(1, -(-1000 // (128 * C)))
     assert rt.plan_window(1000, 10_000_000) <= S
+
+
+# ---- narrow (32-bit key) variant ----------------------------------------
+
+def test_range_narrow_count_and_values():
+    rng = np.random.default_rng(7)
+    nb, npr = 25_000, 70_000
+    bk = rng.permutation(np.arange(nb, dtype=np.uint64) * np.uint64(2))
+    bv = bk + np.uint64(9)
+    pk = rng.integers(0, 2 * nb, npr, dtype=np.uint64)
+    c, unres = _count(bk, bv, pk, narrow=True)
+    assert c == oracle_count(bk, pk)
+    c2, keys, vals, unres2 = _materialize(bk, bv, pk, narrow=True)
+    assert unres2 == 0
+    assert c2 == oracle_count(bk, pk)
+    assert np.all(vals == keys + np.uint64(9))
+
+
+def test_range_narrow_sentinel_u32max():
+    rng = np.random.default_rng(8)
+    bk = rng.integers(0, 1000, 5000, dtype=np.uint64)
+    bk[11] = 2**32 - 1
+    bv = np.arange(5000, dtype=np.uint64)
+    pk = np.concatenate([rng.integers(0, 1200, 8000, dtype=np.uint64),
+                         np.full(5, 2**32 - 1, np.uint64)])
+    c, _ = _count(bk, bv, pk, narrow=True)
+    assert c == oracle_count(bk, pk)
+
+
+def test_api_narrow_detection_routes_and_matches():
+    import flash_hash_join_tpu as fj
+    rng = np.random.default_rng(9)
+    bk = rng.integers(0, 50_000, 30_000, dtype=np.uint64)  # 32-bit keys
+    bv = rng.integers(0, 2**63, 30_000, dtype=np.uint64)   # 64-bit values
+    pk = rng.integers(0, 50_000, 50_000, dtype=np.uint64)
+    c, _ = fj.join_count(bk, bv, pk, strategy="partitioned")
+    assert c == oracle_count(bk, pk)
+    # wide keys on the same shapes still work (separate compile cache key)
+    bk64 = bk + np.uint64(2**40)
+    pk64 = pk + np.uint64(2**40)
+    c2, _ = fj.join_count(bk64, bv, pk64, strategy="partitioned")
+    assert c2 == oracle_count(bk64, pk64)
