@@ -43,6 +43,7 @@ from flash_hash_join_tpu.api import (  # noqa: F401
     initialize,
     join_count,
     join_materialize,
+    distributed_join_count,
 )
 
 __version__ = "0.2.0"

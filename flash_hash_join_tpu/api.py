@@ -179,6 +179,45 @@ def initialize():
 
 # --- extended API ------------------------------------------------------------
 
+def distributed_join_count(build_keys, build_values, probe_keys, *,
+                           n_devices: int | None = None,
+                           use_bloom: bool = False):
+    """Exact distributed count join over a device mesh (extended API).
+
+    NOT PRESENT in the reference (single-node CPU); this is the SURVEY §5
+    distributed tier: hash shuffle over `jax.lax.all_to_all`, sampled
+    heavy-hitter replication for Zipf skew, grown-quota retry until the
+    overflow counter is zero.  n_devices defaults to the largest power of
+    two available.  Returns (count, core_seconds).
+    """
+    import time as _time
+
+    from flash_hash_join_tpu.parallel.mesh import data_mesh
+    from flash_hash_join_tpu.parallel.distributed_join import (
+        distributed_join_exact,
+    )
+    from flash_hash_join_tpu.utils import u64 as _u64
+
+    build_keys = _as_u64(build_keys)
+    build_values = _as_u64(build_values)
+    probe_keys = _as_u64(probe_keys)
+    if build_keys.shape != build_values.shape:
+        raise ValueError("build_keys and build_values must have equal length")
+    if len(build_keys) == 0 or len(probe_keys) == 0:
+        return 0, 0.0
+    if n_devices is None:
+        n = len(jax.devices())
+        n_devices = 1 << (n.bit_length() - 1)  # largest power of two <= n
+    mesh = data_mesh(n_devices)
+    kh, kl = _u64.split_u64(build_keys)
+    vh, vl = _u64.split_u64(build_values)
+    ph, pl = _u64.split_u64(probe_keys)
+    t0 = _time.perf_counter()
+    count = distributed_join_exact(mesh, kh, kl, vh, vl, ph, pl,
+                                   use_bloom=use_bloom)
+    return count, _time.perf_counter() - t0
+
+
 def join_count(build_keys, build_values, probe_keys, *, strategy="adaptive",
                use_bloom=False):
     return _run_join(build_keys, build_values, probe_keys, mode="count",

@@ -44,8 +44,11 @@ LANES = 128
 
 
 def _slot_row(tab, r, shape):
-    """Broadcast table slot-row r (1,128) to a (M,128) tile."""
-    return jnp.broadcast_to(tab[r : r + 1, :], shape)
+    """Broadcast table slot-row r (1,128) to a (M,128) tile.
+
+    r may be traced (fori_loop counter) — dynamic-slice read from VMEM.
+    """
+    return jnp.broadcast_to(tab[pl.ds(r, 1), :], shape)
 
 
 def _gather_lanes(row_tile, bucket_ix):
@@ -60,13 +63,18 @@ def _count_kernel(R, tk_hi_ref, tk_lo_ref, ph_ref, pl_ref, pbkt_ref, out_ref):
     shape = ph.shape
     empty = jnp.uint32(EMPTY32_INT)
 
-    hit = jnp.zeros(shape, jnp.bool_)
-    for r in range(R):  # static unroll: R is small, slices stay static
+    def body(r, hit):
+        # fori_loop (not an unrolled python loop): Mosaic stack-allocates
+        # each unrolled iteration's temporaries, OOMing VMEM at R >= 32.
+        # Carries are uint32, not bool — i1 vector loop carries fail to
+        # legalize (packed/unpacked layout mismatch in scf.for).
         g_hi = _gather_lanes(_slot_row(tk_hi_ref, r, shape), bkt)
         g_lo = _gather_lanes(_slot_row(tk_lo_ref, r, shape), bkt)
         eq = ((g_hi ^ ph) | (g_lo ^ pl_)) == jnp.uint32(0)
         not_empty = ~((g_hi == empty) & (g_lo == empty))
-        hit = hit | (eq & not_empty)
+        return hit | (eq & not_empty).astype(jnp.uint32)
+
+    hit = jax.lax.fori_loop(0, R, body, jnp.zeros(shape, jnp.uint32))
     total = jnp.sum(hit.astype(jnp.int32))
     r_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     c_ = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
@@ -84,8 +92,9 @@ def _materialize_kernel(R, tk_hi_ref, tk_lo_ref, tv_hi_ref, tv_lo_ref,
     zero = jnp.uint32(0)
 
     zeros = jnp.zeros(shape, jnp.uint32)
-    hit, vh, vl = jnp.zeros(shape, jnp.bool_), zeros, zeros
-    for r in range(R):  # static unroll
+
+    def body(r, carry):
+        hit, vh, vl = carry  # uint32 carries: i1 carries fail to legalize
         g_hi = _gather_lanes(_slot_row(tk_hi_ref, r, shape), bkt)
         g_lo = _gather_lanes(_slot_row(tk_lo_ref, r, shape), bkt)
         eq = ((g_hi ^ ph) | (g_lo ^ pl_)) == jnp.uint32(0)
@@ -93,10 +102,12 @@ def _materialize_kernel(R, tk_hi_ref, tk_lo_ref, tv_hi_ref, tv_lo_ref,
         h = eq & not_empty          # at most one r hits per probe (dedup)
         v_hi = _gather_lanes(_slot_row(tv_hi_ref, r, shape), bkt)
         v_lo = _gather_lanes(_slot_row(tv_lo_ref, r, shape), bkt)
-        vh = jnp.where(h, v_hi, vh)
-        vl = jnp.where(h, v_lo, vl)
-        hit = hit | h
-    hit_ref[:] = hit.astype(jnp.uint32)
+        return (hit | h.astype(jnp.uint32),
+                jnp.where(h, v_hi, vh), jnp.where(h, v_lo, vl))
+
+    hit, vh, vl = jax.lax.fori_loop(
+        0, R, body, (jnp.zeros(shape, jnp.uint32), zeros, zeros))
+    hit_ref[:] = hit
     vh_ref[:] = vh
     vl_ref[:] = vl
 

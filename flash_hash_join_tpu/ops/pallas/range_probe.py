@@ -133,20 +133,29 @@ def _search(W, bnds, probe_words, key_words):
 
 
 def _scan_hits(W, C, col, tks, tvs, key_words):
-    """Scan the window's W*C slot-rows; returns (hit[, vh, vl])."""
+    """Scan the window's W*C slot-rows; returns (hit[, vh, vl]).
+
+    w stays a python loop (it indexes distinct window refs); c runs as a
+    fori_loop — unrolling it makes Mosaic stack-allocate every iteration's
+    temporaries, which OOMs VMEM once W*C grows (same fix as
+    bucket_probe.py's R loop).
+    """
     shape = key_words[0].shape
     empty = jnp.uint32(EMPTY32_INT)
-    hit = jnp.zeros(shape, jnp.bool_)
-    vh = jnp.zeros(shape, jnp.uint32) if tvs is not None else None
-    vl = jnp.zeros(shape, jnp.uint32) if tvs is not None else None
+    # uint32 hit mask: i1 vector loop carries fail to legalize in scf.for
+    hit = jnp.zeros(shape, jnp.uint32)
+    vh = jnp.zeros(shape, jnp.uint32)
+    vl = jnp.zeros(shape, jnp.uint32)
     for w in range(W):
         lane = col - w * LANES
         active = (lane >= 0) & (lane < LANES)
         lane_c = jnp.clip(lane, 0, LANES - 1)
-        for c in range(C):
+
+        def body(c, carry, w=w, active=active, lane_c=lane_c):
+            hit, vh, vl = carry
             gk = [
                 _gather_lanes(
-                    jnp.broadcast_to(t[w][0, c : c + 1, :], shape), lane_c)
+                    jnp.broadcast_to(t[w][0, pl.ds(c, 1), :], shape), lane_c)
                 for t in tks
             ]
             diff = None
@@ -158,16 +167,21 @@ def _scan_hits(W, C, col, tks, tvs, key_words):
                 is_empty = e if is_empty is None else (is_empty & e)
             new_hit = (diff == jnp.uint32(0)) & ~is_empty & active
             if tvs is not None:
-                new_hit = new_hit & ~hit  # first slot wins (deterministic)
+                new_hit = new_hit & (hit == 0)  # first slot wins
                 gv_hi = _gather_lanes(
-                    jnp.broadcast_to(tvs[0][w][0, c : c + 1, :], shape),
+                    jnp.broadcast_to(tvs[0][w][0, pl.ds(c, 1), :], shape),
                     lane_c)
                 gv_lo = _gather_lanes(
-                    jnp.broadcast_to(tvs[1][w][0, c : c + 1, :], shape),
+                    jnp.broadcast_to(tvs[1][w][0, pl.ds(c, 1), :], shape),
                     lane_c)
                 vh = jnp.where(new_hit, gv_hi, vh)
                 vl = jnp.where(new_hit, gv_lo, vl)
-            hit = hit | new_hit
+            return (hit | new_hit.astype(jnp.uint32), vh, vl)
+
+        hit, vh, vl = jax.lax.fori_loop(0, C, body, (hit, vh, vl))
+    hit = hit.astype(jnp.bool_)
+    if tvs is None:
+        return hit, None, None
     return hit, vh, vl
 
 

@@ -4,17 +4,24 @@ NOT PRESENT in the reference (single-process CPU, SURVEY.md §2 "Parallelism
 strategies").  Design per SURVEY.md §5/§7 distributed tier:
 
   1. Both sides arrive sharded along mesh axis "x" (row-sharded columns).
-  2. Each device hash-shuffles its rows so device d holds every row whose
-     hash's top log2(ndev) bits equal d (parallel/shuffle.py — the
-     distributed analog of the reference's radix partitioner C5/C6).
-  3. Each device builds its local table over its received build rows using
-     hash bits BELOW the device bits (pre_shift) and probes its received
-     probe rows — pure local compute, no further communication.
-  4. count = psum of local counts; materialized rows stay sharded.
+  2. Sampled heavy-hitter detection (parallel/hotkeys.py) builds a
+     consensus hot-key set; hot BUILD rows are replicated (one all_gather)
+     and hot PROBE rows stay local — Zipf skew never rides the shuffle.
+  3. Each device hash-shuffles its remaining rows so device d holds every
+     row whose hash's top log2(ndev) bits equal d (parallel/shuffle.py —
+     ONE stacked all_to_all per side; the probe side is CHUNKED so XLA's
+     latency-hiding scheduler can overlap chunk k+1's exchange with chunk
+     k's probe compute).
+  4. Each device builds its local table over its received + replicated
+     build rows (hash bits below the device bits, pre_shift) and probes
+     its received rows plus its local hot rows — no further communication.
+  5. count = psum of local counts; materialized rows stay sharded.
 
-Join semantics are preserved exactly: key -> device is a function of the key,
-so first-match/dedup semantics hold globally.  Quota overflow (skew beyond
-the safety factor) is surfaced as a psum'd drop counter; the engine raises.
+Join semantics are preserved exactly: key -> device placement is a function
+of the key, so first-match/dedup semantics hold globally.  Residual quota
+overflow (sampling missed a hitter) and local build drops are surfaced in
+ONE psum'd counter; `distributed_join_exact` retries with a grown quota
+until it is zero, so results are always exact.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from jax import shard_map
 
 from flash_hash_join_tpu.ops import hash_table as ht
 from flash_hash_join_tpu.parallel.shuffle import hash_shuffle, dest_device
+from flash_hash_join_tpu.parallel import hotkeys as hk
 from flash_hash_join_tpu.utils.config import JoinConfig, DEFAULT_CONFIG
 
 
@@ -37,8 +45,13 @@ class DistJoinResult(NamedTuple):
     overflow: jnp.ndarray   # () int32 — rows dropped by quota overflow
 
 
+def _chunk(x, i, k):
+    n = x.shape[0]
+    return jax.lax.dynamic_slice_in_dim(x, i * (n // k), n // k)
+
+
 def _local_join(
-    kh, kl, vh, vl, ph, pl,
+    kh, kl, vh, vl, ph, pl, nb_valid, np_valid,
     *,
     axis_name: str,
     ndev: int,
@@ -47,24 +60,61 @@ def _local_join(
     cfg: JoinConfig,
     use_bloom: bool,
     materialize: bool,
+    hot_cap: int,
+    overlap_chunks: int,
 ):
-    """Per-shard body (runs under shard_map)."""
+    """Per-shard body (runs under shard_map).
+
+    nb_valid/np_valid are GLOBAL row counts: rows at global index >= count
+    are padding (lets callers pad to mesh divisibility, api.py).
+    """
     dbits = max(ndev.bit_length() - 1, 0)
+    me = jax.lax.axis_index(axis_name)
 
-    ones_b = jnp.ones(kh.shape, jnp.bool_)
-    ones_p = jnp.ones(ph.shape, jnp.bool_)
+    def valid_rows(n_shard, n_valid):
+        base = me.astype(jnp.int32) * n_shard
+        return base + jnp.arange(n_shard, dtype=jnp.int32) < n_valid
 
+    ones_b = valid_rows(kh.shape[0], jnp.asarray(nb_valid, jnp.int32))
+    ones_p = valid_rows(ph.shape[0], jnp.asarray(np_valid, jnp.int32))
+    kh = kh.astype(jnp.uint32)
+    kl = kl.astype(jnp.uint32)
+    ph = ph.astype(jnp.uint32)
+    pl = pl.astype(jnp.uint32)
+
+    # --- heavy hitters: replicate hot build rows, keep hot probes local --
+    if hot_cap > 0:
+        hot = hk.detect_hot_keys(ph, pl, ones_p, axis_name=axis_name,
+                                 cap=hot_cap)
+        b_hot = hk.is_member(kh, kl, hot)
+        p_hot = hk.is_member(ph, pl, hot) & ones_p
+        hkh, hkl, hvh, hvl, hvalid = hk.gather_hot_build_rows(
+            kh, kl, vh, vl, ones_b, hot, axis_name=axis_name)
+        send_b = ones_b & ~b_hot
+        send_p = ones_p & ~p_hot
+    else:
+        hkh = hkl = hvh = hvl = jnp.zeros((0,), jnp.uint32)
+        hvalid = jnp.zeros((0,), jnp.bool_)
+        p_hot = jnp.zeros(ph.shape, jnp.bool_)
+        send_b, send_p = ones_b, ones_p
+
+    # --- build side: one stacked exchange + replicated hot rows ----------
     (rkh, rkl, rvh, rvl), bvalid, overflow_b = hash_shuffle(
-        (kh, kl, vh, vl), dest_device(kh, kl, dbits), ones_b,
+        (kh, kl, vh, vl), dest_device(kh, kl, dbits), send_b,
         ndev=ndev, quota=quota_b, axis_name=axis_name,
     )
-    (rph, rpl), pvalid, overflow_p = hash_shuffle(
-        (ph, pl), dest_device(ph, pl, dbits), ones_p,
-        ndev=ndev, quota=quota_p, axis_name=axis_name,
-    )
+    rkh = jnp.concatenate([rkh, hkh])
+    rkl = jnp.concatenate([rkl, hkl])
+    rvh = jnp.concatenate([rvh, hvh])
+    rvl = jnp.concatenate([rvl, hvl])
+    bvalid = jnp.concatenate([bvalid, hvalid])
 
     n_recv_b = rkh.shape[0]
     gbits = cfg.group_bits(n_recv_b)
+    # pre_shift=dbits buckets on the hash bits BELOW the device id: the
+    # shuffled rows all share their top dbits (they routed here), and the
+    # replicated hot rows' sub-device bits are uniform too — the mapping
+    # is consistent for every key as long as build and probe agree.
     table = ht.build_table(
         rkh, rkl, rvh, rvl, n_recv_b,
         gbits=gbits, group_size=cfg.group_size,
@@ -79,23 +129,67 @@ def _local_join(
         use_bloom=use_bloom, bloom_k=cfg.bloom_k,
         max_iters=cfg.max_probe_iters, pre_shift=dbits,
     )
-    # Fold in keys the LOCAL table build dropped (chain/table overflow,
-    # special[3]) so callers see every exactness hazard in one counter —
-    # the single-chip path falls back on this signal (api.py); distributed
-    # callers must treat overflow > 0 the same way.
+
+    # --- probe side: chunked exchange, compute per chunk -----------------
+    k = overlap_chunks if ph.shape[0] % overlap_chunks == 0 else 1
+    cq = max(quota_p // k, 16)
+    recvs = []
+    overflow_p = jnp.int32(0)
+    for i in range(k):
+        (cph, cpl), pvalid, ov = hash_shuffle(
+            (_chunk(ph, i, k), _chunk(pl, i, k)),
+            dest_device(_chunk(ph, i, k), _chunk(pl, i, k), dbits),
+            _chunk(send_p, i, k),
+            ndev=ndev, quota=cq, axis_name=axis_name,
+        )
+        recvs.append((cph, cpl, pvalid))
+        overflow_p = overflow_p + ov
+
+    # local build drops (chain/table overflow) fold into the same counter
     build_drops = jax.lax.psum(table.special[3].astype(jnp.int32), axis_name)
     overflow = overflow_b + overflow_p + build_drops
+
     if materialize:
-        count, okh, okl, ovh, ovl = ht.probe_materialize(
-            table, rph, rpl, rph.shape[0],
-            probe_chunk=cfg.probe_chunk, valid_mask=pvalid, **static,
-        )
+        parts = []
+        for cph, cpl, pvalid in recvs:
+            parts.append(ht.probe_materialize(
+                table, cph, cpl, cph.shape[0],
+                probe_chunk=cfg.probe_chunk, valid_mask=pvalid, **static))
+        # local hot probes (not shuffled)
+        parts.append(ht.probe_materialize(
+            table, ph, pl, ph.shape[0],
+            probe_chunk=cfg.probe_chunk, valid_mask=p_hot, **static))
+        count = sum(p[0] for p in parts)
+        # compact the parts' front-prefixes into ONE front-prefix so the
+        # output contract stays "counts[d] valid rows at the front"
+        valid = jnp.concatenate([
+            jnp.arange(p[1].shape[0], dtype=jnp.int32) < p[0]
+            for p in parts])
+        n_out = valid.shape[0]
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        idx = jnp.where(valid, pos,
+                        n_out + jnp.arange(n_out, dtype=jnp.int32))
+
+        def compact(cols):
+            x = jnp.concatenate(cols)
+            out = jnp.zeros((n_out,), jnp.uint32)
+            return out.at[idx].set(x, mode="drop", unique_indices=True)
+
+        okh = compact([p[1] for p in parts])
+        okl = compact([p[2] for p in parts])
+        ovh = compact([p[3] for p in parts])
+        ovl = compact([p[4] for p in parts])
         gcount = jax.lax.psum(count, axis_name)
         return gcount, overflow, count[None], okh, okl, ovh, ovl
-    count = ht.probe_count(
-        table, rph, rpl, rph.shape[0],
-        probe_chunk=cfg.probe_chunk, valid_mask=pvalid, **static,
-    )
+
+    count = jnp.int32(0)
+    for cph, cpl, pvalid in recvs:
+        count = count + ht.probe_count(
+            table, cph, cpl, cph.shape[0],
+            probe_chunk=cfg.probe_chunk, valid_mask=pvalid, **static)
+    count = count + ht.probe_count(
+        table, ph, pl, ph.shape[0],
+        probe_chunk=cfg.probe_chunk, valid_mask=p_hot, **static)
     return jax.lax.psum(count, axis_name), overflow
 
 
@@ -108,18 +202,23 @@ def build_distributed_join(
     use_bloom: bool = False,
     materialize: bool = False,
     quota_factor: float = 2.0,
+    hot_cap: int = hk.HOT_CAP,
+    overlap_chunks: int = 2,
     axis_name: str = "x",
 ):
     """Returns a jitted distributed join over `mesh`.
 
-    The returned fn takes 6 sharded columns (build kh/kl/vh/vl, probe ph/pl,
-    each (ndev * n_*_shard,) row-sharded on axis_name) and returns
-    DistJoinResult (count mode) or (count, overflow, local outputs) in
-    materialize mode (outputs stay sharded).
+    The returned fn takes 6 sharded columns (build kh/kl/vh/vl, probe
+    ph/pl, each (ndev * n_*_shard,) row-sharded on axis_name) and returns
+    (count, overflow) in count mode or (count, overflow, local counts,
+    out_kh, out_kl, out_vh, out_vl) in materialize mode (outputs sharded;
+    each shard's valid rows are its per-part prefixes — see counts).
 
-    quota_factor oversizes the per-(src,dst) exchange buckets relative to the
-    uniform expectation n_shard/ndev; Zipf-skewed keys need hot-key splitting
-    (future tier) or a larger factor.
+    quota_factor oversizes the per-(src,dst) exchange buckets relative to
+    the uniform expectation n_shard/ndev.  hot_cap > 0 enables sampled
+    heavy-hitter replication (hot_cap=0 disables, for tests).
+    overlap_chunks splits the probe exchange so XLA can overlap collective
+    k+1 with probe compute k.
     """
     ndev = mesh.devices.size
     quota_b = max(int(n_build_shard / ndev * quota_factor) + 16, 16)
@@ -129,6 +228,7 @@ def build_distributed_join(
         _local_join,
         axis_name=axis_name, ndev=ndev, quota_b=quota_b, quota_p=quota_p,
         cfg=cfg, use_bloom=use_bloom, materialize=materialize,
+        hot_cap=hot_cap, overlap_chunks=overlap_chunks,
     )
     sh = P(axis_name)
     if materialize:
@@ -137,11 +237,55 @@ def build_distributed_join(
         out_specs = (P(), P())
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(sh,) * 6,
+        in_specs=(sh,) * 6 + (P(), P()),
         out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def distributed_join_exact(
+    mesh: Mesh, kh, kl, vh, vl, ph, pl, *,
+    cfg: JoinConfig = DEFAULT_CONFIG,
+    use_bloom: bool = False,
+    axis_name: str = "x",
+    max_retries: int = 3,
+):
+    """Count join that is exact by construction: retries with a grown
+    quota until the overflow counter is zero (VERDICT round-1 item 5).
+
+    Columns of any length — padded to mesh divisibility here, with the
+    true row counts passed as validity thresholds.
+    """
+    import numpy as np
+
+    ndev = mesh.devices.size
+    nb, npr = kh.shape[0], ph.shape[0]
+
+    def pad(x, m):
+        r = (-len(x)) % m
+        return np.concatenate([np.asarray(x), np.zeros(r, x.dtype)]) if r \
+            else np.asarray(x)
+
+    cols = [pad(c, ndev) for c in (kh, kl, vh, vl)]
+    cols += [pad(c, ndev) for c in (ph, pl)]
+    nb_pad, np_pad = len(cols[0]), len(cols[4])
+    args = shard_columns(mesh, cols, axis_name=axis_name)
+    args += [jax.device_put(np.int32(nb)), jax.device_put(np.int32(npr))]
+    factor = 2.0
+    for attempt in range(max_retries + 1):
+        fn = build_distributed_join(
+            mesh, nb_pad // ndev, np_pad // ndev, cfg=cfg,
+            use_bloom=use_bloom, quota_factor=factor, axis_name=axis_name,
+        )
+        count, overflow = fn(*args)
+        if int(overflow) == 0:
+            return int(count)
+        factor *= 4.0
+    raise RuntimeError(
+        f"distributed join still overflowing after {max_retries} retries "
+        f"(quota_factor={factor}); pathological skew beyond the hot-key "
+        f"tier — rerun single-chip")
 
 
 def shard_columns(mesh: Mesh, arrays, axis_name: str = "x"):

@@ -7,14 +7,15 @@ selects the destination DEVICE and the exchange rides ICI via
 `jax.lax.all_to_all` instead of a shared-memory scatter.
 
 XLA collectives need static shapes, so the ragged exchange uses fixed-quota
-buckets: each device sorts its rows by destination, packs them into an
-(ndev, quota) send tensor, all_to_alls it, and exchanges per-bucket counts
-the same way so receivers can mask padding.  Rows beyond the quota are
-dropped and COUNTED (returned as `overflow`, psum'd) — callers size the quota
-with a safety factor and must treat overflow > 0 as an error/resize signal.
-Skew beyond the safety factor is the hot-key problem (SURVEY.md §5
-"distributed communication backend"); heavy-hitter splitting lands on top of
-this primitive.
+buckets: each device sorts its rows by destination, packs them into ONE
+(ndev, ncols+1, quota) send tensor — all columns plus the per-bucket counts
+ride a single all_to_all (round 1 issued one collective per column; fusing
+them lets ICI see one large transfer and leaves XLA's latency-hiding
+scheduler one op to overlap with compute).  Rows beyond the quota are
+dropped and COUNTED (returned as `overflow`, psum'd) — callers size the
+quota with a safety factor, handle skew with heavy-hitter replication
+(parallel/distributed_join.py), and treat overflow > 0 as a retry signal
+(distributed_join_exact regrows the quota).
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ def hash_shuffle(
       overflow: () int32, GLOBAL count of rows dropped for quota overflow.
     """
     n = dest.shape[0]
+    ncols = len(cols)
     dest = jnp.where(valid, dest.astype(jnp.uint32), jnp.uint32(ndev))
 
     # Sort rows by destination; invalid rows (dest=ndev) sink to the end.
@@ -79,22 +81,25 @@ def hash_shuffle(
     flat = jnp.where(sendable, flat, ndev * quota + jnp.arange(n, dtype=jnp.int32))
 
     send_counts = jnp.minimum(counts, quota)
-    recv_cols = []
-    for c in cols_s:
-        send = jnp.zeros((ndev * quota,), jnp.uint32)
-        send = send.at[flat].set(c, mode="drop", unique_indices=True)
-        recv = jax.lax.all_to_all(
-            send.reshape(ndev, quota), axis_name, split_axis=0, concat_axis=0,
-            tiled=False,
-        )
-        recv_cols.append(recv.reshape(ndev * quota))
 
-    recv_counts = jax.lax.all_to_all(
-        send_counts.reshape(ndev, 1), axis_name, split_axis=0, concat_axis=0,
-        tiled=False,
-    ).reshape(ndev)
+    # ONE stacked collective: columns plus the counts row.
+    send = jnp.zeros((ncols + 1, ndev * quota), jnp.uint32)
+    for i, c in enumerate(cols_s):
+        send = send.at[i].set(
+            jnp.zeros((ndev * quota,), jnp.uint32)
+            .at[flat].set(c, mode="drop", unique_indices=True))
+    cnt_plane = jnp.zeros((ndev, quota), jnp.uint32)
+    cnt_plane = cnt_plane.at[:, 0].set(send_counts.astype(jnp.uint32))
+    send = send.at[ncols].set(cnt_plane.reshape(-1))
+
+    recv = jax.lax.all_to_all(
+        send.reshape(ncols + 1, ndev, quota), axis_name,
+        split_axis=1, concat_axis=1, tiled=False,
+    )
+    recv_cols = tuple(recv[i].reshape(ndev * quota) for i in range(ncols))
+    recv_counts = recv[ncols].reshape(ndev, quota)[:, 0].astype(jnp.int32)
     lane = jnp.arange(quota, dtype=jnp.int32)
     recv_valid = (lane[None, :] < recv_counts[:, None]).reshape(ndev * quota)
 
     overflow = jax.lax.psum(overflow_local, axis_name)
-    return tuple(recv_cols), recv_valid, overflow
+    return recv_cols, recv_valid, overflow
