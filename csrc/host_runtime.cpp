@@ -250,20 +250,27 @@ int64_t fhj_load_csv_u64(const char* path, int32_t column, uint64_t* out,
           ++q;
         }
         if (col < column) {
+          // line has too few columns: count it bad AND emit a row so the
+          // output stays aligned (the -2 error return makes the value
+          // unobservable, but w must track offs[] row accounting)
           bad.fetch_add(1, std::memory_order_relaxed);
+          out[w++] = 0;
         } else {
-          const char* fe = (col == column + 1) ? q : q;
-          // parse uint64 from [field, fe) — stop at ',' or '\n'
+          // parse uint64 from the field; tolerate leading/trailing
+          // spaces and double quotes (common CSV writers), reject
+          // anything else non-numeric
           uint64_t v = 0;
           const char* r = field;
           bool any = false;
+          while (r < qe && (*r == ' ' || *r == '"')) ++r;
           while (r < qe && *r >= '0' && *r <= '9') {
             v = v * 10 + static_cast<uint64_t>(*r - '0');
             ++r;
             any = true;
           }
-          (void)fe;
-          if (!any) bad.fetch_add(1, std::memory_order_relaxed);
+          while (r < qe && (*r == ' ' || *r == '"' || *r == '\r')) ++r;
+          bool clean_end = (r >= qe) || (*r == ',') || (*r == '\n');
+          if (!any || !clean_end) bad.fetch_add(1, std::memory_order_relaxed);
           out[w++] = v;
         }
         while (q < qe && *q != '\n') ++q;

@@ -29,6 +29,21 @@ import numpy as np
 from flash_hash_join_tpu.engine import default_engine
 from flash_hash_join_tpu.utils import u64
 
+import contextlib
+import os
+
+
+def _maybe_profile():
+    """jax.profiler trace around the timed device call when
+    FHJ_PROFILE_DIR is set (SURVEY §5 tracing tier: the reference only has
+    SimpleTimer; we add optional XLA-level traces on top of the same
+    core-seconds contract)."""
+    trace_dir = os.environ.get("FHJ_PROFILE_DIR")
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax.profiler
+    return jax.profiler.trace(trace_dir)
+
 
 def _as_u64(arr) -> np.ndarray:
     arr = np.asarray(arr)
@@ -81,10 +96,11 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     # outputs returns early (deferred transfer), so blocking on the scalar
     # is the only faithful analog of the reference's SimpleTimer stop
     # (hash_join.cpp:45-55 — excludes marshaling, includes compute).
-    t0 = time.perf_counter()
-    out = compiled(*args)
-    out[0].block_until_ready()
-    core_seconds = time.perf_counter() - t0
+    with _maybe_profile():
+        t0 = time.perf_counter()
+        out = compiled(*args)
+        out[0].block_until_ready()
+        core_seconds = time.perf_counter() - t0
 
     # All graphs return (..., special4); special[3] != 0 means the strategy
     # dropped keys (bucket/window overflow on adversarial inputs) — rerun

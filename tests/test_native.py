@@ -74,3 +74,46 @@ def test_csv_loader_no_trailing_newline_and_errors():
             f.write("k,v\nx,2\n")
         with pytest.raises(ValueError):
             native.load_csv_u64(bad, 0, 10)
+
+
+def _write_csv(text):
+    f = tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False)
+    f.write(text)
+    f.close()
+    return f.name
+
+
+def test_csv_loader_quoted_and_spaces():
+    path = _write_csv('a,b\n"1",2\n 3 ,4\n"5" ,6\n')
+    try:
+        got = native.load_csv_u64(path, 0)
+        np.testing.assert_array_equal(got, np.array([1, 3, 5], np.uint64))
+    finally:
+        os.unlink(path)
+
+
+def test_csv_loader_rejects_nonnumeric():
+    path = _write_csv("a,b\nx1,2\n3,4\n")
+    try:
+        with pytest.raises(ValueError):
+            native.load_csv_u64(path, 0)
+    finally:
+        os.unlink(path)
+
+
+def test_csv_loader_rejects_missing_column():
+    path = _write_csv("a,b,c\n1,2,3\n4,5\n")
+    try:
+        with pytest.raises(ValueError):
+            native.load_csv_u64(path, 2)
+    finally:
+        os.unlink(path)
+
+
+def test_csv_loader_last_column_no_trailing_newline():
+    path = _write_csv("a,b\n1,2\n3,4")
+    try:
+        got = native.load_csv_u64(path, 1)
+        np.testing.assert_array_equal(got, np.array([2, 4], np.uint64))
+    finally:
+        os.unlink(path)
