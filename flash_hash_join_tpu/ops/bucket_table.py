@@ -194,14 +194,7 @@ def bucket_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     mvh = jnp.where(probe_is_max, table.special[1], mvh)
     mvl = jnp.where(probe_is_max, table.special[2], mvl)
 
-    pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
-    idx = jnp.where(hit, pos, n + jnp.arange(n, dtype=jnp.int32))
-    count = jnp.sum(hit).astype(jnp.int32)
-
-    def compact(x):
-        out = jnp.zeros((n,), jnp.uint32)
-        return out.at[idx].set(x, mode="drop", unique_indices=True)
-
-    return (count, compact(ph.astype(jnp.uint32)),
-            compact(pl.astype(jnp.uint32)), compact(mvh), compact(mvl),
-            table.special)
+    from flash_hash_join_tpu.ops.compact import compact_by_mask
+    count, outs = compact_by_mask(
+        hit, (ph.astype(jnp.uint32), pl.astype(jnp.uint32), mvh, mvl))
+    return (count, *outs, table.special)

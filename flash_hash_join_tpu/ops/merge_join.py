@@ -107,14 +107,8 @@ def merge_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid):
     SURVEY.md §3, so any deterministic order is strictly stronger)."""
     probe_match, chs, cls, bvh, bvl, origs = _sorted_runs(
         kh, kl, vh, vl, ph, pl, nb_valid, np_valid)
-    n = probe_match.shape[0]
     npr = ph.shape[0]
-    pos = jnp.cumsum(probe_match.astype(jnp.int32)) - 1
-    idx = jnp.where(probe_match, pos, n + jnp.arange(n, dtype=jnp.int32))
-    count = jnp.sum(probe_match).astype(jnp.int32)
-
-    def compact(x):
-        out = jnp.zeros((n,), x.dtype)
-        return out.at[idx].set(x, mode="drop", unique_indices=True)[:npr]
-
-    return (count, compact(chs), compact(cls), compact(bvh), compact(bvl))
+    from flash_hash_join_tpu.ops.compact import compact_by_mask
+    count, outs = compact_by_mask(probe_match, (chs, cls, bvh, bvl),
+                                  n_out=npr)
+    return (count, *outs)

@@ -132,27 +132,32 @@ def _search(W, bnds, probe_words, key_words):
     return col, unresolved
 
 
+SCAN_UNROLL = 8  # slot-rows per fori step — see _scan_hits
+
+
 def _scan_hits(W, C, col, tks, tvs, key_words):
     """Scan the window's W*C slot-rows; returns (hit[, vh, vl]).
 
     w stays a python loop (it indexes distinct window refs); c runs as a
-    fori_loop — unrolling it makes Mosaic stack-allocate every iteration's
-    temporaries, which OOMs VMEM once W*C grows (same fix as
-    bucket_probe.py's R loop).
+    fori_loop whose body unrolls SCAN_UNROLL slot-rows.  Fully unrolling
+    makes Mosaic stack-allocate every iteration's temporaries (VMEM OOM as
+    W*C grows); a plain per-row fori pays ~100 cycles/iteration of loop
+    overhead (measured: +40% kernel time at W*C=96).  Chunked unrolling
+    bounds the stack at SCAN_UNROLL iterations while amortizing the
+    overhead 8x.  Carries are uint32 — i1 vector carries fail to legalize.
     """
     shape = key_words[0].shape
     empty = jnp.uint32(EMPTY32_INT)
-    # uint32 hit mask: i1 vector loop carries fail to legalize in scf.for
     hit = jnp.zeros(shape, jnp.uint32)
     vh = jnp.zeros(shape, jnp.uint32)
     vl = jnp.zeros(shape, jnp.uint32)
+    unroll = SCAN_UNROLL if C % SCAN_UNROLL == 0 else 1
     for w in range(W):
         lane = col - w * LANES
         active = (lane >= 0) & (lane < LANES)
         lane_c = jnp.clip(lane, 0, LANES - 1)
 
-        def body(c, carry, w=w, active=active, lane_c=lane_c):
-            hit, vh, vl = carry
+        def step(hit, vh, vl, c, w=w, active=active, lane_c=lane_c):
             gk = [
                 _gather_lanes(
                     jnp.broadcast_to(t[w][0, pl.ds(c, 1), :], shape), lane_c)
@@ -176,9 +181,15 @@ def _scan_hits(W, C, col, tks, tvs, key_words):
                     lane_c)
                 vh = jnp.where(new_hit, gv_hi, vh)
                 vl = jnp.where(new_hit, gv_lo, vl)
-            return (hit | new_hit.astype(jnp.uint32), vh, vl)
+            return hit | new_hit.astype(jnp.uint32), vh, vl
 
-        hit, vh, vl = jax.lax.fori_loop(0, C, body, (hit, vh, vl))
+        def body(b, carry, step=step):
+            hit, vh, vl = carry
+            for j in range(unroll):
+                hit, vh, vl = step(hit, vh, vl, b * unroll + j)
+            return (hit, vh, vl)
+
+        hit, vh, vl = jax.lax.fori_loop(0, C // unroll, body, (hit, vh, vl))
     hit = hit.astype(jnp.bool_)
     if tvs is None:
         return hit, None, None

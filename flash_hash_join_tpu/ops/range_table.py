@@ -298,14 +298,13 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     mvh = jnp.where(sp_hit, table.special[1], mvh)
     mvl = jnp.where(sp_hit, table.special[2], mvl)
 
-    pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
-    idx = jnp.where(hit, pos, npad + rank)
-    count = jnp.sum(hit).astype(jnp.int32)
-
-    def compact(x):
-        out = jnp.zeros((npad,), jnp.uint32)
-        return out.at[idx].set(x, mode="drop", unique_indices=True)[:n]
-
+    from flash_hash_join_tpu.ops.compact import compact_by_mask
+    if narrow:  # key_hi is identically zero — keep it out of the sort
+        count, (out_l, out_vh, out_vl) = compact_by_mask(
+            hit, (pks_l, mvh, mvl), n_out=n)
+        out_h = jnp.zeros((n,), jnp.uint32)
+    else:
+        count, (out_h, out_l, out_vh, out_vl) = compact_by_mask(
+            hit, (pks_h, pks_l, mvh, mvl), n_out=n)
     special = table.special.at[3].set(unresolved.astype(jnp.uint32))
-    return (count, compact(pks_h), compact(pks_l), compact(mvh),
-            compact(mvl), special)
+    return count, out_h, out_l, out_vh, out_vl, special

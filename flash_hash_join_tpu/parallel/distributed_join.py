@@ -162,23 +162,14 @@ def _local_join(
         count = sum(p[0] for p in parts)
         # compact the parts' front-prefixes into ONE front-prefix so the
         # output contract stays "counts[d] valid rows at the front"
+        from flash_hash_join_tpu.ops.compact import compact_by_mask
         valid = jnp.concatenate([
             jnp.arange(p[1].shape[0], dtype=jnp.int32) < p[0]
             for p in parts])
-        n_out = valid.shape[0]
-        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
-        idx = jnp.where(valid, pos,
-                        n_out + jnp.arange(n_out, dtype=jnp.int32))
-
-        def compact(cols):
-            x = jnp.concatenate(cols)
-            out = jnp.zeros((n_out,), jnp.uint32)
-            return out.at[idx].set(x, mode="drop", unique_indices=True)
-
-        okh = compact([p[1] for p in parts])
-        okl = compact([p[2] for p in parts])
-        ovh = compact([p[3] for p in parts])
-        ovl = compact([p[4] for p in parts])
+        _, (okh, okl, ovh, ovl) = compact_by_mask(
+            valid,
+            tuple(jnp.concatenate([p[i] for p in parts])
+                  for i in range(1, 5)))
         gcount = jax.lax.psum(count, axis_name)
         return gcount, overflow, count[None], okh, okl, ovh, ovl
 
