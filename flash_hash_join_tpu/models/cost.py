@@ -57,6 +57,14 @@ def choose_plan(n_build: int, n_probe: int, cfg: JoinConfig) -> JoinPlan:
     fits_vmem = kb + bb <= VMEM_BUDGET_BYTES
 
     from flash_hash_join_tpu.ops.bucket_table import max_build_rows
+    from flash_hash_join_tpu.ops.range_table import small_mode
+
+    # Small builds: the range table's SMALL mode (window == whole table)
+    # needs no probe sort at all and its rank-balanced columns beat the
+    # Poisson-padded vmem buckets — route there for any probe size.
+    if small_mode(n_build):
+        return JoinPlan("partitioned", cfg.group_bits(n_build), kb, bb, True)
+
     if n_build <= max_build_rows() and n_probe >= 2 * n_build:
         return JoinPlan("vmem", cfg.group_bits(n_build), 0, 0, True)
 

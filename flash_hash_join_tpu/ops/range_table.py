@@ -47,6 +47,17 @@ EMPTY32 = jnp.uint32(0xFFFFFFFF)
 LANES = 128
 
 
+# Builds whose table spans <= this many super-rows run in SMALL mode: the
+# window is the whole table, so the probe side needs NO sort (and the join
+# is exact unconditionally — no window to overflow).  4 super-rows = 16K
+# keys at C=32; scan cost 4*C/128 = 1 vector op per probe.
+SMALL_S_CAP = 4
+
+
+def small_mode(n_build: int, C: int = rp.DEFAULT_C) -> bool:
+    return -(-max(n_build, 1) // (LANES * C)) <= SMALL_S_CAP
+
+
 def plan_window(n_build: int, n_probe: int, *, C: int = rp.DEFAULT_C,
                 tile_m: int = rp.DEFAULT_TILE_M) -> int:
     """Static window size W (super-rows) for a shape pair.
@@ -58,6 +69,8 @@ def plan_window(n_build: int, n_probe: int, *, C: int = rp.DEFAULT_C,
     caught by the unresolved counter.
     """
     S = max(1, -(-n_build // (LANES * C)))
+    if S <= SMALL_S_CAP:
+        return S  # small mode: the window IS the table
     span = (tile_m * LANES * n_build) / max(n_probe, 1)
     W = int(span // (LANES * C)) + 2
     return min(max(2, W), S, 64)  # never exceed the table's S super-rows
@@ -167,8 +180,12 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
 
 
 def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
-                tile_m: int, narrow: bool, valid_mask=None):
+                tile_m: int, narrow: bool, small: bool, valid_mask=None):
     """Sort probes by the order words, pad to tiles, compute window starts.
+
+    In SMALL mode (W == S, the window is the whole table) the sort and the
+    window-start search are skipped entirely — probes stay in input order
+    and every column is in-window, so the join is exact unconditionally.
 
     Returns (probe_word_planes, wstart, sp_count) where sp_count is the
     number of valid maximum-key probes (resolved via the special channel,
@@ -204,6 +221,12 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
         h = hash_u64(ph, pl)
         h = jnp.where(is_max, EMPTY32, h)
         cols = [padded(h), padded(ph), padded(pl)]
+
+    ntiles = npad // tile
+    if small:
+        planes = tuple(c.reshape(-1, LANES) for c in cols)
+        return planes, jnp.zeros((ntiles,), jnp.int32), sp_count
+
     sorted_cols = jax.lax.sort(tuple(cols), num_keys=len(cols),
                                is_stable=False)
 
@@ -232,10 +255,12 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     special[3] = unresolved probes (caller must fall back if != 0)."""
     if W is None:
         W = plan_window(kh.shape[0], ph.shape[0], C=C, tile_m=tile_m)
+    small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, narrow=narrow)
     planes, wstart, sp_count = _prep_probe(
-        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow)
+        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow,
+        small=small)
     count, unresolved = rp.range_probe_count(
         table.bnds, table.tks, planes, wstart, W=W, C=C, tile_m=tile_m,
         layout=_layout(narrow), interpret=interpret)
@@ -256,10 +281,12 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     n = ph.shape[0]
     if W is None:
         W = plan_window(kh.shape[0], n, C=C, tile_m=tile_m)
+    small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=True, narrow=narrow)
     planes, wstart, _ = _prep_probe(
-        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow)
+        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow,
+        small=small)
     hit_b, vh_b, vl_b, unresolved = rp.range_probe_materialize(
         table.bnds, table.tks, table.tvs, planes, wstart,
         W=W, C=C, tile_m=tile_m, layout=_layout(narrow),
@@ -278,22 +305,27 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         pks_l = planes[2].reshape(-1)
         sorted_is_max = (pks_h == EMPTY32) & (pks_l == EMPTY32)
 
-    # Maximum-key probes sort into the tail MAX run together with padding
-    # and invalid rows (identical word tuples).  All such rows are EMPTY-
-    # keyed in the kernel (no false hits); resolve the first n_max_valid of
-    # the run as the real max-key probes — they are interchangeable.
+    # Maximum-key probes carry the EMPTY pattern in the kernel (no false
+    # hits); resolve them here via the special channel.  Sorted mode: they
+    # pool in the tail MAX run with padding/invalid rows (identical word
+    # tuples) — take the first n_max_valid of the run (interchangeable).
+    # Small mode: rows keep input order, so position < np_valid identifies
+    # the real ones directly.
     has_max = table.special[0] > 0
     n_valid_i = jnp.asarray(np_valid, jnp.int32)
-    in_valid = jnp.arange(n, dtype=jnp.int32) < n_valid_i
-    if narrow:
-        raw_max = pl.astype(jnp.uint32) == EMPTY32
-    else:
-        raw_max = (ph.astype(jnp.uint32) == EMPTY32) & (
-            pl.astype(jnp.uint32) == EMPTY32)
-    n_max_valid = jnp.sum(raw_max & in_valid).astype(jnp.int32)
     rank = jnp.arange(npad, dtype=jnp.int32)
-    n_real = npad - jnp.sum(sorted_is_max).astype(jnp.int32)
-    sp_hit = sorted_is_max & (rank < n_real + n_max_valid) & has_max
+    if small:
+        sp_hit = sorted_is_max & (rank < n_valid_i) & has_max
+    else:
+        in_valid = jnp.arange(n, dtype=jnp.int32) < n_valid_i
+        if narrow:
+            raw_max = pl.astype(jnp.uint32) == EMPTY32
+        else:
+            raw_max = (ph.astype(jnp.uint32) == EMPTY32) & (
+                pl.astype(jnp.uint32) == EMPTY32)
+        n_max_valid = jnp.sum(raw_max & in_valid).astype(jnp.int32)
+        n_real = npad - jnp.sum(sorted_is_max).astype(jnp.int32)
+        sp_hit = sorted_is_max & (rank < n_real + n_max_valid) & has_max
     hit = hit | sp_hit
     mvh = jnp.where(sp_hit, table.special[1], mvh)
     mvl = jnp.where(sp_hit, table.special[2], mvl)

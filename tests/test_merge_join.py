@@ -97,4 +97,7 @@ def test_cost_model_picks_partitioned_for_large():
         "partitioned")
     assert choose_plan(100_000, 100_000_000, DEFAULT_CONFIG).strategy == (
         "partitioned")
-    assert choose_plan(1_000, 200_000, DEFAULT_CONFIG).strategy == "vmem"
+    # small builds route to the range table's small mode (no probe sort)
+    assert choose_plan(1_000, 200_000, DEFAULT_CONFIG).strategy == (
+        "partitioned")
+    assert choose_plan(30_000, 200_000, DEFAULT_CONFIG).strategy == "vmem"

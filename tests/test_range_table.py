@@ -225,3 +225,38 @@ def test_api_narrow_detection_routes_and_matches():
     pk64 = pk + np.uint64(2**40)
     c2, _ = fj.join_count(bk64, bv, pk64, strategy="partitioned")
     assert c2 == oracle_count(bk64, pk64)
+
+
+# ---- small mode (window == whole table, probes unsorted) ------------------
+
+@pytest.mark.parametrize("narrow", [False, True])
+def test_range_small_mode_exact(narrow):
+    rng = np.random.default_rng(20)
+    nb, npr = 9000, 40000
+    bk = rng.integers(0, 12000, nb, dtype=np.uint64)
+    bk[5] = (2**32 - 1) if narrow else np.uint64(2**64 - 1)
+    bv = rng.integers(0, 2**62, nb, dtype=np.uint64)
+    pk = rng.integers(0, 15000, npr, dtype=np.uint64)
+    pk[:4] = bk[5]
+    assert rt.small_mode(nb)
+    c, unres = _count(bk, bv, pk, narrow=narrow)
+    assert unres == 0
+    assert c == oracle_count(bk, pk)
+    c2, keys, vals, unres2 = _materialize(bk, bv, pk, narrow=narrow)
+    assert unres2 == 0 and c2 == c
+    first = {}
+    for k, v in zip(bk.tolist(), bv.tolist()):
+        first.setdefault(k, v)
+    want = collections.Counter(k for k in pk.tolist() if k in first)
+    assert collections.Counter(keys.tolist()) == want
+
+
+def test_range_small_mode_always_exact_on_dups():
+    """Small mode has no window to overflow: even an all-duplicate build
+    resolves exactly with unresolved == 0 (no fallback needed)."""
+    bk = np.full(10000, 7, np.uint64)
+    bv = np.arange(10000, dtype=np.uint64)
+    pk = np.array([7, 8, 7, 9] * 2500, dtype=np.uint64)
+    c, unres = _count(bk, bv, pk)
+    assert unres == 0
+    assert c == 5000
