@@ -36,10 +36,14 @@ def log(*a):
 
 
 def run_one(label: str, task: str, fn, oracle_count: int, results: list,
-            case: str = ""):
+            case: str = "", repeats: int = 2):
     t0 = time.perf_counter()
     count, core = fn()
     total = time.perf_counter() - t0
+    for _ in range(max(repeats - 1, 0)):  # Core = best of `repeats` runs
+        c2, core2 = fn()
+        count = count if c2 == count else -1  # divergence -> parity fail
+        core = min(core, core2)
     ok = count == oracle_count
     log(f"    RESULT,Library={label},Task={task},Threads=1,"
         f"Time={total:.4f},Core={core:.4f},Result={count}")

@@ -17,6 +17,15 @@ Name mapping (reference -> here, identical names):
 Extended (beyond the reference, which fills and drops its outputs,
 hash_join.cpp:444,:494): `join_materialize(..., return_arrays=True)` also
 returns the materialized (probe_key, value) numpy arrays.
+
+Output-order contract: the ROW MULTISET is identical across strategies
+(asserted by benchmark.py's value-parity harness); the ORDER is
+strategy-specific but deterministic — global/vmem/small-partitioned emit
+probe order, merge and large-partitioned emit (hash, key) order.  The
+reference's own order is thread-interleaved and nondeterministic
+(SURVEY.md §3), so any fixed order satisfies parity.  Dedup winner on
+duplicate build keys: first occurrence in the strategy's sort order
+(deterministic; the reference's winner is a data race, hash_join.cpp:147).
 """
 
 from __future__ import annotations
