@@ -24,8 +24,9 @@ strategy-specific but deterministic — global/vmem/small-partitioned emit
 probe order, merge and large-partitioned emit (hash, key) order.  The
 reference's own order is thread-interleaved and nondeterministic
 (SURVEY.md §3), so any fixed order satisfies parity.  Dedup winner on
-duplicate build keys: first occurrence in the strategy's sort order
-(deterministic; the reference's winner is a data race, hash_join.cpp:147).
+duplicate build keys: deterministic per strategy (first occurrence for
+global/vmem/merge, minimal-value row for the partitioned tier); the
+reference's own winner is a data race (hash_join.cpp:147).
 """
 
 from __future__ import annotations
@@ -85,11 +86,13 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     # of (hash, hi, lo).  Host-side check, outside core_seconds — like the
     # reference's pybind marshaling, which its SimpleTimer also excludes.
     narrow = (strategy == "partitioned"
-              and nb > 0 and npr > 0
               and int(build_keys.max()) < 2**32
               and int(probe_keys.max()) < 2**32)
+    narrow_values = (strategy == "partitioned" and mode == "materialize"
+                     and int(build_values.max()) < 2**32)
 
-    compiled = eng.prepare(nb, npr, mode, strategy, use_bloom, narrow=narrow)
+    compiled = eng.prepare(nb, npr, mode, strategy, use_bloom,
+                           narrow=narrow, narrow_values=narrow_values)
 
     kh, kl = u64.split_u64(build_keys)
     vh, vl = u64.split_u64(build_values)

@@ -14,16 +14,24 @@ import jax
 import jax.numpy as jnp
 
 
-def compact_by_mask(mask, cols, n_out: int | None = None):
-    """Return (count, cols') with rows where mask is True moved, in order,
-    to the front of each column.  Tail rows are unspecified (sorted misses).
+def compact_by_mask(mask, cols, n_out: int | None = None,
+                    stable: bool = True):
+    """Return (count, cols') with rows where mask is True moved to the
+    front of each column.  Tail rows are unspecified (sorted misses).
+
+    stable=True preserves the rows' relative order (probe-order contracts;
+    XLA implements it with an internal tiebreak column).  stable=False is
+    cheaper and still deterministic — hits land in full-tuple lex order —
+    for paths that promise a sort order anyway (large range materialize).
 
     cols: uint32 arrays of mask's length; n_out: optional truncation.
     """
     flag = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
-    sorted_ops = jax.lax.sort(
-        (flag,) + tuple(c.astype(jnp.uint32) for c in cols),
-        num_keys=1, is_stable=True)
+    ops = (flag,) + tuple(c.astype(jnp.uint32) for c in cols)
+    if stable:
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    else:
+        sorted_ops = jax.lax.sort(ops, num_keys=len(ops), is_stable=False)
     count = jnp.sum(mask.astype(jnp.int32))
     out = sorted_ops[1:]
     if n_out is not None:

@@ -96,18 +96,18 @@ def _row_search(bnd_rows, probe_words):
     return cnt
 
 
-def _layout(refs, W, n_words, n_keys, with_values):
+def _layout(refs, W, n_words, n_keys, n_values):
     """Split the flat kernel ref list into named groups."""
     nb = W + 1
     bnds = [refs[i * nb : (i + 1) * nb] for i in range(n_words)]
     base = n_words * nb
     tks = [refs[base + i * W : base + (i + 1) * W] for i in range(n_keys)]
     base += n_keys * W
-    if with_values:
-        tvs = [refs[base + i * W : base + (i + 1) * W] for i in range(2)]
-        base += 2 * W
-    else:
-        tvs = None
+    tvs = None
+    if n_values:
+        tvs = [refs[base + i * W : base + (i + 1) * W]
+               for i in range(n_values)]
+        base += n_values * W
     probes = refs[base : base + n_words]
     rest = refs[base + n_words :]
     return bnds, tks, tvs, probes, rest
@@ -148,16 +148,16 @@ def _scan_hits(W, C, col, tks, tvs, key_words):
     """
     shape = key_words[0].shape
     empty = jnp.uint32(EMPTY32_INT)
+    n_values = len(tvs) if tvs is not None else 0
     hit = jnp.zeros(shape, jnp.uint32)
-    vh = jnp.zeros(shape, jnp.uint32)
-    vl = jnp.zeros(shape, jnp.uint32)
+    vs = [jnp.zeros(shape, jnp.uint32) for _ in range(n_values)]
     unroll = SCAN_UNROLL if C % SCAN_UNROLL == 0 else 1
     for w in range(W):
         lane = col - w * LANES
         active = (lane >= 0) & (lane < LANES)
         lane_c = jnp.clip(lane, 0, LANES - 1)
 
-        def step(hit, vh, vl, c, w=w, active=active, lane_c=lane_c):
+        def step(hit, vs, c, w=w, active=active, lane_c=lane_c):
             gk = [
                 _gather_lanes(
                     jnp.broadcast_to(t[w][0, pl.ds(c, 1), :], shape), lane_c)
@@ -171,29 +171,29 @@ def _scan_hits(W, C, col, tks, tvs, key_words):
                 e = g == empty
                 is_empty = e if is_empty is None else (is_empty & e)
             new_hit = (diff == jnp.uint32(0)) & ~is_empty & active
-            if tvs is not None:
+            if n_values:
                 new_hit = new_hit & (hit == 0)  # first slot wins
-                gv_hi = _gather_lanes(
-                    jnp.broadcast_to(tvs[0][w][0, pl.ds(c, 1), :], shape),
-                    lane_c)
-                gv_lo = _gather_lanes(
-                    jnp.broadcast_to(tvs[1][w][0, pl.ds(c, 1), :], shape),
-                    lane_c)
-                vh = jnp.where(new_hit, gv_hi, vh)
-                vl = jnp.where(new_hit, gv_lo, vl)
-            return hit | new_hit.astype(jnp.uint32), vh, vl
+                for i in range(n_values):
+                    gv = _gather_lanes(
+                        jnp.broadcast_to(tvs[i][w][0, pl.ds(c, 1), :],
+                                         shape), lane_c)
+                    vs[i] = jnp.where(new_hit, gv, vs[i])
+            return hit | new_hit.astype(jnp.uint32), vs
 
         def body(b, carry, step=step):
-            hit, vh, vl = carry
+            hit, *vs = carry
             for j in range(unroll):
-                hit, vh, vl = step(hit, vh, vl, b * unroll + j)
-            return (hit, vh, vl)
+                hit, vs = step(hit, list(vs), b * unroll + j)
+            return (hit, *vs)
 
-        hit, vh, vl = jax.lax.fori_loop(0, C // unroll, body, (hit, vh, vl))
+        out = jax.lax.fori_loop(0, C // unroll, body, (hit, *vs))
+        hit, vs = out[0], list(out[1:])
     hit = hit.astype(jnp.bool_)
-    if tvs is None:
+    if not n_values:
         return hit, None, None
-    return hit, vh, vl
+    if n_values == 1:  # narrow values: hi plane is identically zero
+        return hit, jnp.zeros(shape, jnp.uint32), vs[0]
+    return hit, vs[0], vs[1]
 
 
 def _stat_tile(a, b):
@@ -206,7 +206,7 @@ def _stat_tile(a, b):
 
 def _count_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
     bnds, tks, _, probes, rest = _layout(refs, W, n_words, len(key_ix),
-                                         with_values=False)
+                                         n_values=0)
     (out_ref,) = rest
     probe_words = tuple(p[:] for p in probes)
     key_words = tuple(probe_words[i] for i in key_ix)
@@ -216,9 +216,10 @@ def _count_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
                             jnp.sum(unresolved.astype(jnp.int32)))
 
 
-def _materialize_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
+def _materialize_kernel(W, C, n_words, key_ix, n_values, wstart_ref,
+                        *refs):
     bnds, tks, tvs, probes, rest = _layout(refs, W, n_words, len(key_ix),
-                                           with_values=True)
+                                           n_values=n_values)
     hit_ref, vh_ref, vl_ref, unres_ref = rest
     probe_words = tuple(p[:] for p in probes)
     key_words = tuple(probe_words[i] for i in key_ix)
@@ -231,7 +232,7 @@ def _materialize_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
                               jnp.int32(0))
 
 
-def _in_specs(W, C, TM, n_words, n_keys, with_values):
+def _in_specs(W, C, TM, n_words, n_keys, n_values):
     def bnd_spec(w):
         # boundary arrays are (S+1, 1, 128); block (1, 1, 128) satisfies
         # Mosaic's trailing-dims rule (middle dim equals the array's).
@@ -249,7 +250,7 @@ def _in_specs(W, C, TM, n_words, n_keys, with_values):
     specs = []
     for _ in range(n_words):
         specs += [bnd_spec(w) for w in range(W + 1)]
-    for _ in range(n_keys + (2 if with_values else 0)):
+    for _ in range(n_keys + n_values):
         specs += [tab_spec(w) for w in range(W)]
     specs += [probe_spec] * n_words
     return specs
@@ -288,8 +289,7 @@ def range_probe_count(bnds, tks, probes, wstart, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=_in_specs(W, C, TM, n_words, len(key_ix),
-                           with_values=False),
+        in_specs=_in_specs(W, C, TM, n_words, len(key_ix), n_values=0),
         out_specs=pl.BlockSpec((8, LANES), lambda t, ws: (t, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -310,8 +310,10 @@ def range_probe_materialize(bnds, tks, tvs, probes, wstart, *,
                             tile_m: int = DEFAULT_TILE_M,
                             layout=WIDE, interpret: bool = False):
     """Materializing variant: (hit, vh, vl, n_unresolved); hit/vh/vl are
-    shaped like the probe blocks (probe-sorted order)."""
+    shaped like the probe blocks (probe-sorted order).  tvs holds 1 value
+    plane (narrow values: hi is identically zero) or 2."""
     n_words, key_ix = layout
+    n_values = len(tvs)
     TM = tile_m
     ntiles = probes[0].shape[0] // TM
     probe_out = pl.BlockSpec((TM, LANES), lambda t, ws: (t, 0),
@@ -319,14 +321,16 @@ def range_probe_materialize(bnds, tks, tvs, probes, wstart, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=_in_specs(W, C, TM, n_words, len(key_ix), with_values=True),
+        in_specs=_in_specs(W, C, TM, n_words, len(key_ix),
+                           n_values=n_values),
         out_specs=(probe_out, probe_out, probe_out,
                    pl.BlockSpec((8, LANES), lambda t, ws: (t, 0),
                                 memory_space=pltpu.VMEM)),
     )
     shape = jax.ShapeDtypeStruct(probes[0].shape, jnp.uint32)
     hit, vh, vl, unres = pl.pallas_call(
-        functools.partial(_materialize_kernel, W, C, n_words, key_ix),
+        functools.partial(_materialize_kernel, W, C, n_words, key_ix,
+                          n_values),
         grid_spec=grid_spec,
         out_shape=(shape, shape, shape,
                    jax.ShapeDtypeStruct((ntiles * 8, LANES), jnp.int32)),

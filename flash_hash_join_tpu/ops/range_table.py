@@ -106,6 +106,7 @@ def _special_channel(kh, kl, vh, vl, row_valid, narrow):
 
 def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
                       with_values: bool, narrow: bool = False,
+                      narrow_values: bool = False,
                       valid_mask=None) -> RangeTable:
     """Sort build rows by the order words and reshape into the range table.
 
@@ -147,10 +148,20 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
         h = jnp.where(is_empty, EMPTY32, h)  # sentinels sort last
         cols = [padded(h), padded(kh), padded(kl)]
     nk = len(cols)
+    nv = 0
     if with_values:
-        cols += [padded(vh, 0), padded(vl, 0)]
-        # stable: duplicate keys keep input order (deterministic winner)
-        sorted_cols = jax.lax.sort(tuple(cols), num_keys=nk, is_stable=True)
+        # narrow_values: value_hi is identically zero (caller-checked) —
+        # it stays out of the sort, the table, and the kernel entirely
+        nv = 1 if narrow_values else 2
+        cols += [padded(vl, 0)] if narrow_values else [padded(vh, 0),
+                                                       padded(vl, 0)]
+        # unstable FULL-tuple sort: deterministic (the duplicate-key winner
+        # is the minimal-value row — input-order-independent) and cheaper
+        # than a stable sort, which internally adds a tiebreak column.
+        # The reference's winner is a data race (hash_join.cpp:147), so
+        # any fixed rule satisfies parity.
+        sorted_cols = jax.lax.sort(tuple(cols), num_keys=nk + nv,
+                                   is_stable=False)
     else:
         sorted_cols = jax.lax.sort(tuple(cols), num_keys=nk, is_stable=False)
 
@@ -172,7 +183,7 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
         tks = (to_table(sorted_cols[1]), to_table(sorted_cols[2]))
     tvs = None
     if with_values:
-        tvs = (to_table(sorted_cols[nk]), to_table(sorted_cols[nk + 1]))
+        tvs = tuple(to_table(sorted_cols[nk + i]) for i in range(nv))
 
     special = jnp.stack([has_max.astype(jnp.uint32), max_vh, max_vl,
                          jnp.uint32(0)])
@@ -273,6 +284,7 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                            C: int = rp.DEFAULT_C,
                            tile_m: int = rp.DEFAULT_TILE_M,
                            W: int | None = None, narrow: bool = False,
+                           narrow_values: bool = False,
                            interpret: bool = False):
     """Fused build+probe materialize: (count, out_kh, out_kl, out_vh,
     out_vl, special).  Matched rows are compacted in sort order
@@ -283,7 +295,8 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         W = plan_window(kh.shape[0], n, C=C, tile_m=tile_m)
     small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
-                              with_values=True, narrow=narrow)
+                              with_values=True, narrow=narrow,
+                              narrow_values=narrow_values)
     planes, wstart, _ = _prep_probe(
         table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow,
         small=small)
@@ -331,12 +344,24 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     mvl = jnp.where(sp_hit, table.special[2], mvl)
 
     from flash_hash_join_tpu.ops.compact import compact_by_mask
-    if narrow:  # key_hi is identically zero — keep it out of the sort
+    # small mode keeps probe order (stable); the large path promises only
+    # a deterministic sort order, so it takes the cheaper unstable compact.
+    # Identically-zero planes (narrow keys/values) stay out of the sort.
+    zeros_n = lambda: jnp.zeros((n,), jnp.uint32)  # noqa: E731
+    if narrow and narrow_values:
+        count, (out_l, out_vl) = compact_by_mask(
+            hit, (pks_l, mvl), n_out=n, stable=small)
+        out_h, out_vh = zeros_n(), zeros_n()
+    elif narrow:
         count, (out_l, out_vh, out_vl) = compact_by_mask(
-            hit, (pks_l, mvh, mvl), n_out=n)
-        out_h = jnp.zeros((n,), jnp.uint32)
+            hit, (pks_l, mvh, mvl), n_out=n, stable=small)
+        out_h = zeros_n()
+    elif narrow_values:
+        count, (out_h, out_l, out_vl) = compact_by_mask(
+            hit, (pks_h, pks_l, mvl), n_out=n, stable=small)
+        out_vh = zeros_n()
     else:
         count, (out_h, out_l, out_vh, out_vl) = compact_by_mask(
-            hit, (pks_h, pks_l, mvh, mvl), n_out=n)
+            hit, (pks_h, pks_l, mvh, mvl), n_out=n, stable=small)
     special = table.special.at[3].set(unresolved.astype(jnp.uint32))
     return count, out_h, out_l, out_vh, out_vl, special

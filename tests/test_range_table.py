@@ -260,3 +260,22 @@ def test_range_small_mode_always_exact_on_dups():
     c, unres = _count(bk, bv, pk)
     assert unres == 0
     assert c == 5000
+
+
+def test_range_narrow_values_specialization():
+    """32-bit values keep the hi plane out of the sort/table/kernel; the
+    engine detects it host-side (api) — exercised here at the op level."""
+    rng = np.random.default_rng(21)
+    nb, npr = 20_000, 50_000
+    bk = rng.permutation(np.arange(nb, dtype=np.uint64))
+    bv = rng.integers(0, 2**31, nb, dtype=np.uint64)
+    pk = rng.integers(0, 2 * nb, npr, dtype=np.uint64)
+    args = _args(bk, bv, pk)
+    out = rt.range_join_materialize(*args, narrow=True, narrow_values=True,
+                                    interpret=True)
+    c = int(out[0])
+    assert c == oracle_count(bk, pk)
+    keys = u64.join_u64(np.asarray(out[1]), np.asarray(out[2]))[:c]
+    vals = u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:c]
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+    assert all(lut[k] == v for k, v in zip(keys.tolist(), vals.tolist()))
