@@ -36,7 +36,10 @@ def j1_suite(n: int, seed: int = 0) -> list[JoinCase]:
         nb = max(n // ratio, 1)
         universe = max(int(nb * 1.1), 2)
         bk = rng.integers(0, universe, nb, dtype=np.uint64)
-        bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+        # db-benchmark's v2 payload is a small int column (join-datagen.R
+        # draws 1..100); the reference benchmark casts it to uint64
+        # (/root/reference/benchmark.py:233-237)
+        bv = rng.integers(1, 101, nb, dtype=np.uint64)
         pk = rng.integers(0, universe, n, dtype=np.uint64)
         cases.append(JoinCase(f"{n:.0e}-{qid}".replace("+", ""), bk, bv, pk))
     return cases
