@@ -98,7 +98,7 @@ def vmem_materialize_graph(*args, r_slots, interpret):
 @functools.lru_cache(maxsize=256)
 def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
-              narrow: bool = False, narrow_values: bool = False):
+              order: str = "hash", narrow_values: bool = False):
     """AOT-compile the join graph for a shape/config signature."""
     if strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
@@ -109,16 +109,17 @@ def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
                                interpret=interpret)
     elif strategy == "partitioned":
         interpret = jax.default_backend() == "cpu"
-        # narrow/narrow_values: 32-bit keys/values (checked by the
-        # caller) — key-ordered table, 1-word compares, fewer sort columns
+        # order: "narrow" (32-bit keys) / "key" (64-bit, no hash column)
+        # / "hash" (robust to any distribution); narrow_values drops the
+        # value-hi plane.  All checked/chosen by the caller (api.py).
         if mode == "count":
             fn = functools.partial(
                 rt.range_join_count, W=rt.plan_window(n_build, n_probe),
-                narrow=narrow, interpret=interpret)
+                order=order, interpret=interpret)
         else:
             fn = functools.partial(
                 rt.range_join_materialize,
-                W=rt.plan_window(n_build, n_probe), narrow=narrow,
+                W=rt.plan_window(n_build, n_probe), order=order,
                 narrow_values=narrow_values, interpret=interpret)
     else:  # "global"
         graph = join_count_graph if mode == "count" else join_materialize_graph
@@ -146,12 +147,12 @@ class JoinEngine:
         return choose_plan(n_build, n_probe, self.cfg)
 
     def prepare(self, n_build, n_probe, mode, strategy, use_bloom,
-                gbits=None, narrow=False, narrow_values=False):
+                gbits=None, order="hash", narrow_values=False):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         return _compiled(
             n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits,
-            narrow, narrow_values and mode == "materialize",
+            order, narrow_values and mode == "materialize",
         )
 
     def run(self, compiled, device_args):

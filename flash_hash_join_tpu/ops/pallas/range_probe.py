@@ -53,8 +53,9 @@ DEFAULT_TILE_M = 32
 
 # (n_words, key_ix): which probe word planes exist and which of them are
 # key planes (compared against table key planes during the scan).
-WIDE = (3, (1, 2))     # words (h, kh, kl); keys = (kh, kl)
-NARROW = (1, (0,))     # words (kl,);       keys = (kl,)
+WIDE = (3, (1, 2))      # words (h, kh, kl); keys = (kh, kl)
+NARROW = (1, (0,))      # words (kl,);       keys = (kl,)
+KEYORDER = (2, (0, 1))  # words (kh, kl);    keys = (kh, kl) — no hash
 
 
 def _lex_le(bnd_words, probe_words):

@@ -25,6 +25,11 @@ Order variants:
            (key_lo,) alone — no hashing, 1-word boundaries, half the sort
            width.  Key-space density mismatch between sides can widen
            windows; the unresolved counter keeps it exact.
+  keyorder — 64-bit keys sorted by (key_hi, key_lo) without the hash
+           column: one sort column fewer per side than wide.  Same
+           density-mismatch caveat as narrow; the engine retries with the
+           hash-ordered wide layout on unresolved before falling back to
+           merge (api.py retry ladder).
 
 Semantics contract (SURVEY.md §3): inner first-match join; duplicate build
 keys stay in the table (any one matches; the probe takes the first slot of
@@ -105,7 +110,7 @@ def _special_channel(kh, kl, vh, vl, row_valid, narrow):
 
 
 def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
-                      with_values: bool, narrow: bool = False,
+                      with_values: bool, order: str = "hash",
                       narrow_values: bool = False,
                       valid_mask=None) -> RangeTable:
     """Sort build rows by the order words and reshape into the range table.
@@ -115,8 +120,10 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
     keys are forced to the all-ones sort sentinel so they pool with
     padding at the end as EMPTY slots (max-key values exit via `special`).
 
-    narrow=True requires key_hi == 0 for all valid rows (caller-checked).
+    order: "hash" (h, kh, kl), "key" (kh, kl), or "narrow" (kl, — requires
+    key_hi == 0 for all valid rows, caller-checked).
     """
+    narrow = order == "narrow"
     n = kh.shape[0]
     n_valid = jnp.asarray(n_valid, jnp.int32)
     row_valid = jnp.arange(n, dtype=jnp.int32) < n_valid
@@ -142,6 +149,8 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
 
     if narrow:
         cols = [padded(kl)]
+    elif order == "key":
+        cols = [padded(kh), padded(kl)]  # sentinel (MAX, MAX) sorts last
     else:
         h = hash_u64(kh, kl)
         is_empty = (kh == EMPTY32) & (kl == EMPTY32)
@@ -179,6 +188,8 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
     bnds = tuple(bounds(c) for c in sorted_cols[:nk])
     if narrow:
         tks = (to_table(sorted_cols[0]),)
+    elif order == "key":
+        tks = (to_table(sorted_cols[0]), to_table(sorted_cols[1]))
     else:
         tks = (to_table(sorted_cols[1]), to_table(sorted_cols[2]))
     tvs = None
@@ -191,7 +202,7 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
 
 
 def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
-                tile_m: int, narrow: bool, small: bool, valid_mask=None):
+                tile_m: int, order: str, small: bool, valid_mask=None):
     """Sort probes by the order words, pad to tiles, compute window starts.
 
     In SMALL mode (W == S, the window is the whole table) the sort and the
@@ -203,6 +214,7 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
     outside the kernel).
     """
     n = ph.shape[0]
+    narrow = order == "narrow"
     n_valid = jnp.asarray(n_valid, jnp.int32)
     valid = jnp.arange(n, dtype=jnp.int32) < n_valid
     if valid_mask is not None:
@@ -228,6 +240,8 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
 
     if narrow:
         cols = [padded(pl)]
+    elif order == "key":
+        cols = [padded(ph), padded(pl)]
     else:
         h = hash_u64(ph, pl)
         h = jnp.where(is_max, EMPTY32, h)
@@ -254,27 +268,34 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
     return planes, wstart, sp_count
 
 
-def _layout(narrow: bool):
-    return rp.NARROW if narrow else rp.WIDE
+_LAYOUTS = {"hash": rp.WIDE, "key": rp.KEYORDER, "narrow": rp.NARROW}
+
+
+def _order_of(narrow: bool, order: str | None) -> str:
+    if narrow:
+        return "narrow"
+    return order or "hash"
 
 
 def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                      C: int = rp.DEFAULT_C, tile_m: int = rp.DEFAULT_TILE_M,
                      W: int | None = None, narrow: bool = False,
+                     order: str | None = None,
                      interpret: bool = False):
     """Fused build+probe count.  Returns (count, special4) where
     special[3] = unresolved probes (caller must fall back if != 0)."""
+    order = _order_of(narrow, order)
     if W is None:
         W = plan_window(kh.shape[0], ph.shape[0], C=C, tile_m=tile_m)
     small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
-                              with_values=False, narrow=narrow)
+                              with_values=False, order=order)
     planes, wstart, sp_count = _prep_probe(
-        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow,
+        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, order=order,
         small=small)
     count, unresolved = rp.range_probe_count(
         table.bnds, table.tks, planes, wstart, W=W, C=C, tile_m=tile_m,
-        layout=_layout(narrow), interpret=interpret)
+        layout=_LAYOUTS[order], interpret=interpret)
     count = count + sp_count * (table.special[0] > 0)
     special = table.special.at[3].set(unresolved.astype(jnp.uint32))
     return count.astype(jnp.int32), special
@@ -284,6 +305,7 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                            C: int = rp.DEFAULT_C,
                            tile_m: int = rp.DEFAULT_TILE_M,
                            W: int | None = None, narrow: bool = False,
+                           order: str | None = None,
                            narrow_values: bool = False,
                            interpret: bool = False):
     """Fused build+probe materialize: (count, out_kh, out_kl, out_vh,
@@ -291,18 +313,20 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     (deterministic; the reference's own output order is thread-interleaved,
     SURVEY.md §3, so any fixed order satisfies the contract)."""
     n = ph.shape[0]
+    order = _order_of(narrow, order)
+    narrow = order == "narrow"
     if W is None:
         W = plan_window(kh.shape[0], n, C=C, tile_m=tile_m)
     small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
-                              with_values=True, narrow=narrow,
+                              with_values=True, order=order,
                               narrow_values=narrow_values)
     planes, wstart, _ = _prep_probe(
-        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, narrow=narrow,
+        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, order=order,
         small=small)
     hit_b, vh_b, vl_b, unresolved = rp.range_probe_materialize(
         table.bnds, table.tks, table.tvs, planes, wstart,
-        W=W, C=C, tile_m=tile_m, layout=_layout(narrow),
+        W=W, C=C, tile_m=tile_m, layout=_LAYOUTS[order],
         interpret=interpret)
 
     npad = hit_b.size
@@ -313,6 +337,10 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         pks_h = jnp.zeros((npad,), jnp.uint32)
         pks_l = planes[0].reshape(-1)
         sorted_is_max = pks_l == EMPTY32
+    elif order == "key":
+        pks_h = planes[0].reshape(-1)
+        pks_l = planes[1].reshape(-1)
+        sorted_is_max = (pks_h == EMPTY32) & (pks_l == EMPTY32)
     else:
         pks_h = planes[1].reshape(-1)
         pks_l = planes[2].reshape(-1)

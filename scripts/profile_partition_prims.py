@@ -93,7 +93,9 @@ def main():
     # copies of W rows each from VMEM staging to dynamic offsets in HBM.
     if want("dma"):
         M_ROWS = 2048                      # staging rows per block (x128 lanes)
-        for F, W in ((16, 128), (64, 32), (64, 64), (128, 16), (256, 8)):
+        # W (rows per copy) = M_ROWS//F: measures pure per-DMA issue
+        # overhead at each fan-out without overlapping the staging slices
+        for F, W in ((16, 128), (64, 32), (128, 16), (256, 8)):
             blocks = n // (M_ROWS * 128)
             if blocks == 0:
                 continue

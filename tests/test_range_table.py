@@ -279,3 +279,35 @@ def test_range_narrow_values_specialization():
     vals = u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:c]
     lut = dict(zip(bk.tolist(), bv.tolist()))
     assert all(lut[k] == v for k, v in zip(keys.tolist(), vals.tolist()))
+
+
+# ---- key-order (64-bit keys, no hash column) -----------------------------
+
+def test_range_keyorder_wide_exact():
+    rng = np.random.default_rng(22)
+    nb, npr = 30_000, 90_000
+    bk = rng.integers(2**40, 2**63, nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**62, nb, dtype=np.uint64)
+    pk = np.concatenate([rng.choice(bk, npr // 2),
+                         rng.integers(2**40, 2**63, npr // 2,
+                                      dtype=np.uint64)])
+    c, sp = rt.range_join_count(*_args(bk, bv, pk), order="key",
+                                interpret=True)
+    assert int(sp[3]) == 0
+    assert int(c) == oracle_count(bk, pk)
+
+
+def test_api_order_retry_ladder_on_density_mismatch():
+    """Clustered 32-bit build keys + uniform probes overflow the narrow
+    (key-ordered) windows; the api must retry with the hash order and
+    stay exact."""
+    import flash_hash_join_tpu as fj
+    rng = np.random.default_rng(23)
+    nb, npr = 30_000, 90_000
+    bk = rng.integers(50_000, 250_000, nb, dtype=np.uint64)  # dense cluster
+    bv = rng.integers(0, 2**62, nb, dtype=np.uint64)
+    pk = np.concatenate([rng.choice(bk, 1000),
+                         rng.integers(0, 2**31, npr - 1000,
+                                      dtype=np.uint64)])
+    c, _ = fj.join_count(bk, bv, pk, strategy="partitioned")
+    assert c == oracle_count(bk, pk)
