@@ -80,17 +80,26 @@ def test_distributed_materialize():
     assert int(overflow) == 0
     assert int(gcount) == oracle_count(bk, pk)
     assert int(np.sum(np.asarray(counts))) == int(gcount)
-    # collect valid rows from each shard and check they are real matches
+    # collect valid rows from each shard: keys must be the exact multiset
+    # of matching probes, values must be genuine build pairs
     counts = np.asarray(counts)
     okh = np.asarray(okh).reshape(8, -1)
     okl = np.asarray(okl).reshape(8, -1)
-    got = []
+    ovh = np.asarray(ovh).reshape(8, -1)
+    ovl = np.asarray(ovl).reshape(8, -1)
+    got_k, got_v = [], []
     for d in range(8):
-        got.append(u64.join_u64(okh[d][: counts[d]], okl[d][: counts[d]]))
-    got = np.concatenate(got)
-    assert len(got) == int(gcount)
-    build_set = np.unique(bk)
-    assert np.isin(got, build_set).all()
+        got_k.append(u64.join_u64(okh[d][: counts[d]], okl[d][: counts[d]]))
+        got_v.append(u64.join_u64(ovh[d][: counts[d]], ovl[d][: counts[d]]))
+    got_k = np.concatenate(got_k)
+    got_v = np.concatenate(got_v)
+    assert len(got_k) == int(gcount)
+    import collections
+    build_set = set(bk.tolist())
+    want = collections.Counter(k for k in pk.tolist() if k in build_set)
+    assert collections.Counter(got_k.tolist()) == want
+    pairs = set(zip(bk.tolist(), bv.tolist()))
+    assert all(p in pairs for p in zip(got_k.tolist(), got_v.tolist()))
 
 
 def test_skew_completes_via_hot_key_replication():
