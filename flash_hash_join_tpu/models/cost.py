@@ -52,21 +52,17 @@ def table_bytes(n_build: int, cfg: JoinConfig) -> tuple[int, int]:
 
 
 def choose_plan(n_build: int, n_probe: int, cfg: JoinConfig) -> JoinPlan:
-    """Pick the probe strategy for a build/probe size pair."""
+    """Pick the probe strategy for a build/probe size pair.
+
+    Measured head-to-head on v5e (docs/RESULTS.md): the partitioned range
+    table wins EVERY regime — small builds via its SMALL mode (window ==
+    whole table, no probe sort, rank-balanced columns beat the
+    Poisson-padded vmem buckets: Q1/Q2 shapes ~1.8x), mid builds 20K-40K
+    x 10M probes (47 ms vs 80 ms for the vmem bucket path), and large
+    builds by construction.  vmem/global/merge remain explicit strategies
+    and fallback tiers; the adaptive plan is simply "partitioned".
+    """
     kb, bb = table_bytes(n_build, cfg)
     fits_vmem = kb + bb <= VMEM_BUDGET_BYTES
-
-    from flash_hash_join_tpu.ops.bucket_table import max_build_rows
-    from flash_hash_join_tpu.ops.range_table import small_mode
-
-    # Small builds: the range table's SMALL mode (window == whole table)
-    # needs no probe sort at all and its rank-balanced columns beat the
-    # Poisson-padded vmem buckets — route there for any probe size.
-    if small_mode(n_build):
-        return JoinPlan("partitioned", cfg.group_bits(n_build), kb, bb, True)
-
-    if n_build <= max_build_rows() and n_probe >= 2 * n_build:
-        return JoinPlan("vmem", cfg.group_bits(n_build), 0, 0, True)
-
     return JoinPlan("partitioned", cfg.group_bits(n_build), kb, bb,
                     fits_vmem)

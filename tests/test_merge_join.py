@@ -92,12 +92,8 @@ def test_merge_validity_padding():
     assert got == oracle_count(bk[:300], pk[:600])
 
 
-def test_cost_model_picks_partitioned_for_large():
-    assert choose_plan(10_000_000, 10_000_000, DEFAULT_CONFIG).strategy == (
-        "partitioned")
-    assert choose_plan(100_000, 100_000_000, DEFAULT_CONFIG).strategy == (
-        "partitioned")
-    # small builds route to the range table's small mode (no probe sort)
-    assert choose_plan(1_000, 200_000, DEFAULT_CONFIG).strategy == (
-        "partitioned")
-    assert choose_plan(30_000, 200_000, DEFAULT_CONFIG).strategy == "vmem"
+def test_cost_model_picks_partitioned_everywhere():
+    # measured: the range table wins every regime (docs/RESULTS.md)
+    for nb, npr in ((10_000_000, 10_000_000), (100_000, 100_000_000),
+                    (1_000, 200_000), (30_000, 200_000)):
+        assert choose_plan(nb, npr, DEFAULT_CONFIG).strategy == "partitioned"
