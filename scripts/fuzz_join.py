@@ -21,8 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def gen_case(rng):
-    nb = int(rng.integers(1, 60_000))
-    npr = int(rng.integers(1, 120_000))
+    # mostly small/medium, occasionally large enough to exercise the
+    # sorted-window paths (W >= 2, wstart clipping, ladder retries)
+    if rng.integers(0, 4) == 0:
+        nb = int(rng.integers(20_000, 300_000))
+        npr = int(rng.integers(1, 500_000))
+    else:
+        nb = int(rng.integers(1, 60_000))
+        npr = int(rng.integers(1, 120_000))
     dist = rng.choice(["uniform", "narrow", "dense", "zipf", "dup_heavy",
                        "sentinel", "tiny_universe"])
     if dist == "uniform":
