@@ -40,7 +40,11 @@ def run_one(label: str, task: str, fn, oracle_count: int, results: list,
     t0 = time.perf_counter()
     count, core = fn()
     total = time.perf_counter() - t0
-    for _ in range(max(repeats - 1, 0)):  # Core = best of `repeats` runs
+    # Core = best of `repeats` runs.  NOTE: the reference harness times a
+    # single run (reference benchmark.py run_benchmark); best-of-N slightly
+    # flatters us on noisy runs, so cross-harness tables in docs/RESULTS.md
+    # state this convention next to reference comparisons.
+    for _ in range(max(repeats - 1, 0)):
         c2, core2 = fn()
         count = count if c2 == count else -1  # divergence -> parity fail
         core = min(core, core2)

@@ -132,6 +132,36 @@ def main():
                 spc.astype(jnp.uint32)
         bench_chain("_prep_probe (sort+pad+wstart)", prep, keys, n)
 
+    if want("sweep"):
+        # kernel-only cost across (C, TM) at the W each config needs for
+        # this shape pair (W from plan_window's span formula).
+        for (c_, tm_) in ((32, 32), (16, 32), (8, 32), (32, 64), (16, 64),
+                          (8, 64), (16, 128), (32, 16), (16, 16)):
+            w_ = rt.plan_window(n, n, C=c_, tile_m=tm_)
+            try:
+                tab = rt.build_range_table(zeros, keys, zeros, zeros, n,
+                                           C=c_, with_values=False,
+                                           order="narrow")
+                planes, wstart, _ = rt._prep_probe(
+                    tab, zeros, probe, n, W=w_, C=c_, tile_m=tm_,
+                    order="narrow", small=False)
+                plane0 = jax.device_put(planes[0])
+                ws = jax.device_put(wstart)
+                bnds = jax.tree.map(jax.device_put, tab.bnds)
+                tks = jax.tree.map(jax.device_put, tab.tks)
+
+                def kern(x, bnds=bnds, tks=tks, ws=ws, w_=w_, c_=c_,
+                         tm_=tm_):
+                    cnt, unres = rp.range_probe_count(
+                        bnds, tks, (x,), ws, W=w_, C=c_, tile_m=tm_,
+                        layout=rp.NARROW)
+                    return x ^ (cnt ^ unres).astype(jnp.uint32)
+                bench_chain(f"kernel C={c_} TM={tm_} W={w_}", kern,
+                            plane0, n, (2, 10))
+            except Exception as e:  # noqa: BLE001
+                print(f"kernel C={c_} TM={tm_} W={w_}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                      flush=True)
+
     if want("kernel"):
         tab = rt.build_range_table(zeros, keys, zeros, zeros, n, C=C,
                                    with_values=False, order="narrow")

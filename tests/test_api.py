@@ -78,3 +78,24 @@ def test_merge_strategy_via_extended_api():
     c2, _ = fj.join_count(bk, bv, pk, strategy="global")
     c3, _ = fj.join_count(bk, bv, pk, strategy="vmem")
     assert c1 == c2 == c3 == oracle_count(bk, pk)
+
+
+def test_api_narrow_density_mismatch_ladder():
+    """Probe keys spanning a wider range than build keys overflow the
+    narrow order's matched-density window plan; the retry ladder
+    (narrow w_mult=4 -> hash -> merge) must keep the result exact."""
+    import flash_hash_join_tpu as fj
+
+    rng = np.random.default_rng(31)
+    nb, npr = 20_000, 50_000
+    bk = rng.permutation(np.arange(nb, dtype=np.uint64))
+    bv = rng.integers(0, 2**31, nb, dtype=np.uint64)
+    pk = rng.integers(0, 2 * nb, npr, dtype=np.uint64)
+    expected = int(np.isin(pk, bk).sum())
+    count, _ = fj.adaptive_join_count(bk, bv, pk)
+    assert count == expected
+    count2, _, keys, vals = fj.join_materialize(bk, bv, pk,
+                                                return_arrays=True)
+    assert count2 == expected
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+    assert all(lut[k] == v for k, v in zip(keys.tolist(), vals.tolist()))

@@ -1,0 +1,94 @@
+"""Chunked probe streaming + feasibility model (VERDICT r2 items 3-4).
+
+The feasibility model (models/cost.py) must select chunking for probe
+sides whose transient buffers exceed HBM, and the chunked graph must stay
+exact — including max-key sentinels, duplicates, and non-divisible sizes.
+"""
+
+import numpy as np
+import pytest
+
+from flash_hash_join_tpu.models.cost import (
+    HBM_BUDGET_BYTES, choose_plan, plan_probe_chunks)
+from flash_hash_join_tpu.utils.config import DEFAULT_CONFIG
+
+
+def test_plan_single_shot_for_flagship():
+    assert plan_probe_chunks(40_000_000, 40_000_000, "count") == 1
+    assert plan_probe_chunks(100_000_000, 100_000_000, "count") == 1
+
+
+def test_plan_chunks_baseline_config3():
+    # BASELINE config #3: 10M build / 1e9 probes must stream in chunks
+    n = plan_probe_chunks(10_000_000, 1_000_000_000, "count")
+    assert n > 1
+    # chunks stay coarse enough to amortize the per-chunk sorts
+    assert n <= 16
+
+
+def test_plan_respects_budget_knob():
+    # a >HBM-probe plan selects chunking and scales with the budget
+    tight = plan_probe_chunks(1_000_000, 50_000_000, "count",
+                              budget_bytes=HBM_BUDGET_BYTES // 8)
+    assert tight > plan_probe_chunks(1_000_000, 50_000_000, "count")
+
+
+def test_choose_plan_carries_chunks():
+    plan = choose_plan(10_000_000, 1_000_000_000, DEFAULT_CONFIG, "count")
+    assert plan.strategy == "partitioned"
+    assert plan.probe_chunks > 1
+
+
+@pytest.mark.parametrize("nb,npr,n_chunks,narrow,seed", [
+    (1000, 5000, 3, True, 0),
+    (300, 4097, 4, True, 1),      # non-divisible, pad straddles chunks
+    (20000, 60000, 3, False, 2),  # wide keys, hash order
+    (1000, 3000, 2, True, 3),     # with max-key sentinels both sides
+])
+def test_chunked_count_exact(nb, npr, n_chunks, narrow, seed):
+    import jax.numpy as jnp
+    from flash_hash_join_tpu.ops import range_table as rt
+
+    rng = np.random.default_rng(seed)
+    hi = 2**32 if narrow else 2**63
+    bk = rng.integers(0, min(hi, nb * 2), nb, dtype=np.uint64)
+    pk = rng.integers(0, min(hi, nb * 2), npr, dtype=np.uint64)
+    if seed == 3:
+        bk[5] = 2**32 - 1  # narrow max-key sentinel
+        pk[7:20] = 2**32 - 1
+    expected = int(np.isin(pk, bk).sum())
+
+    def split(a):
+        return ((a >> np.uint64(32)).astype(np.uint32),
+                (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    kh, kl = split(bk)
+    ph, pl = split(pk)
+    zeros = np.zeros(nb, np.uint32)
+    count, special = rt.range_join_count_chunked(
+        jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(zeros),
+        jnp.asarray(zeros), jnp.asarray(ph), jnp.asarray(pl), nb, npr,
+        n_chunks=n_chunks, narrow=narrow, interpret=True)
+    assert int(special[3]) == 0
+    assert int(count) == expected
+
+
+def test_chunked_matches_single_shot():
+    import jax.numpy as jnp
+    from flash_hash_join_tpu.ops import range_table as rt
+
+    rng = np.random.default_rng(7)
+    nb, npr = 5000, 20000
+    kl = rng.integers(0, 8000, nb, dtype=np.uint32)
+    pl = rng.integers(0, 8000, npr, dtype=np.uint32)
+    z = jnp.zeros((nb,), jnp.uint32)
+    zp = jnp.zeros((npr,), jnp.uint32)
+    c1, s1 = rt.range_join_count(z, jnp.asarray(kl), z, z, zp,
+                                 jnp.asarray(pl), nb, npr, narrow=True,
+                                 interpret=True)
+    c2, s2 = rt.range_join_count_chunked(z, jnp.asarray(kl), z, z, zp,
+                                         jnp.asarray(pl), nb, npr,
+                                         n_chunks=5, narrow=True,
+                                         interpret=True)
+    assert int(s1[3]) == 0 and int(s2[3]) == 0
+    assert int(c1) == int(c2)

@@ -271,9 +271,14 @@ def test_range_narrow_values_specialization():
     bv = rng.integers(0, 2**31, nb, dtype=np.uint64)
     pk = rng.integers(0, 2 * nb, npr, dtype=np.uint64)
     args = _args(bk, bv, pk)
+    # w_mult=4: pk spans 2x bk's key range, so the matched-density window
+    # estimate undercovers in the un-hashed narrow order; the api ladder
+    # retries with exactly this widened window (covered by
+    # test_api_narrow_density_mismatch_ladder)
     out = rt.range_join_materialize(*args, narrow=True, narrow_values=True,
-                                    interpret=True)
+                                    w_mult=4, interpret=True)
     c = int(out[0])
+    assert int(out[-1][3]) == 0
     assert c == oracle_count(bk, pk)
     keys = u64.join_u64(np.asarray(out[1]), np.asarray(out[2]))[:c]
     vals = u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:c]
