@@ -36,7 +36,7 @@ def log(*a):
 
 
 def run_one(label: str, task: str, fn, oracle_count: int, results: list,
-            case: str = "", repeats: int = 2):
+            case: str = "", repeats: int = 2, dev_fn=None, alias: str = ""):
     t0 = time.perf_counter()
     count, core = fn()
     total = time.perf_counter() - t0
@@ -48,14 +48,31 @@ def run_one(label: str, task: str, fn, oracle_count: int, results: list,
         c2, core2 = fn()
         count = count if c2 == count else -1  # divergence -> parity fail
         core = min(core, core2)
-    ok = count == oracle_count
+    # Optional steady-state device time (chained-delta, cancels the ~31 ms
+    # axon-tunnel dispatch overhead — docs/DESIGN.md 'Measurement-honesty
+    # note'); emitted as Device= next to the single-call Core=.
+    dev = ""
+    if dev_fn is not None:
+        dcount, dsec, dsingle, chained = dev_fn()
+        count = count if dcount == count else -1
+        core = min(core, dsingle)
+        if chained:
+            dev = f",Device={dsec:.4f}"
+    # Alias= marks `_bloom` variants whose executed graph is IDENTICAL to
+    # their plain twin (bloom only changes the global-strategy graph; it
+    # measured counterproductive on the other tiers — docs/RESULTS.md).
+    # The row is kept for reference-API completeness, not as a distinct
+    # implementation.
+    anote = f",Alias={alias}" if alias else ""
     log(f"    RESULT,Library={label},Task={task},Threads=1,"
-        f"Time={total:.4f},Core={core:.4f},Result={count}")
+        f"Time={total:.4f},Core={core:.4f}{dev},Result={count}{anote}")
+    ok = count == oracle_count
     if not ok:
         log(f"    PARITY FAILURE: {label}/{task}: got {count}, oracle {oracle_count}")
     results.append(
         {"label": label, "task": task, "total": total, "core": core,
-         "count": count, "ok": ok, "case": case})
+         "count": count, "ok": ok, "case": case,
+         "device": (dev_fn and chained and dsec) or None, "alias": alias})
     return ok
 
 
@@ -202,7 +219,7 @@ def plot_results(results, task: str, outfile: str):
                      and r["label"] == label]
             if match:
                 xs.append(i + j * width)
-                ys.append(match[0]["core"])
+                ys.append(match[0].get("device") or match[0]["core"])
         bars = ax.bar(xs, ys, width=width, label=label)
         ax.bar_label(bars, fmt="%.3f", fontsize=6, rotation=90, padding=2)
     ax.set_xticks([i + 0.4 for i in range(len(cases))])
@@ -226,6 +243,9 @@ def main():
                     help="run materialized-VALUE parity checks on cases "
                          "with at most this many probe rows")
     ap.add_argument("--no-charts", action="store_true")
+    ap.add_argument("--device-time", action="store_true",
+                    help="also measure steady-state device seconds per run "
+                         "(chained-delta; extra compiles, TPU-meaningful)")
     args = ap.parse_args()
 
     import flash_hash_join_tpu as fj
@@ -242,14 +262,20 @@ def main():
         log("No suites found.")
         sys.exit(1)
 
+    # label -> (count_fn, materialize_fn, strategy, use_bloom)
     impl_map = {
-        "adaptive_join": (fj.adaptive_join_count, fj.adaptive_join),
-        "adaptive_bloom": (fj.adaptive_join_count_bloom, fj.adaptive_join_bloom),
-        "flash_join": (fj.hash_join_count, fj.hash_join),
-        "flash_join_radix": (fj.hash_join_count_radix, fj.hash_join_radix),
-        "flash_join_bloom": (fj.hash_join_count_bloom, fj.hash_join_bloom),
+        "adaptive_join": (fj.adaptive_join_count, fj.adaptive_join,
+                          "adaptive", False),
+        "adaptive_bloom": (fj.adaptive_join_count_bloom,
+                           fj.adaptive_join_bloom, "adaptive", True),
+        "flash_join": (fj.hash_join_count, fj.hash_join, "global", False),
+        "flash_join_radix": (fj.hash_join_count_radix, fj.hash_join_radix,
+                             "partitioned", False),
+        "flash_join_bloom": (fj.hash_join_count_bloom, fj.hash_join_bloom,
+                             "global", True),
         "flash_join_radix_bloom": (fj.hash_join_count_radix_bloom,
-                                   fj.hash_join_radix_bloom),
+                                   fj.hash_join_radix_bloom,
+                                   "partitioned", True),
     }
     if args.impls:
         impl_map = {k: v for k, v in impl_map.items() if k in args.impls}
@@ -263,13 +289,25 @@ def main():
             expected = oracle(bk, pk)
             log(f"-- case {case_id}: build={len(bk)} probe={len(pk)} "
                 f"oracle_count={expected}")
-            for label, (count_fn, mat_fn) in impl_map.items():
-                all_ok &= run_one(label, "join_count",
-                                  lambda f=count_fn: f(bk, bv, pk),
-                                  expected, results, case=case_id)
-                all_ok &= run_one(label, "join_materialize",
-                                  lambda f=mat_fn: f(bk, bv, pk),
-                                  expected, results, case=case_id)
+            for label, (count_fn, mat_fn, strat, bloom) in impl_map.items():
+                alias = ""
+                if bloom and not fj.bloom_is_distinct(
+                        len(bk), len(pk), "count", strat):
+                    alias = label.replace("_bloom", "").replace(
+                        "adaptive", "adaptive_join")
+                for task, api_fn, mode in (("join_count", count_fn, "count"),
+                                           ("join_materialize", mat_fn,
+                                            "materialize")):
+                    dev_fn = None
+                    if args.device_time:
+                        dev_fn = (lambda m=mode, s=strat, b=bloom:
+                                  fj.measure_device_seconds(
+                                      bk, bv, pk, mode=m, strategy=s,
+                                      use_bloom=b))
+                    all_ok &= run_one(label, task,
+                                      lambda f=api_fn: f(bk, bv, pk),
+                                      expected, results, case=case_id,
+                                      dev_fn=dev_fn, alias=alias)
             if len(pk) <= args.check_values_max:
                 all_ok &= check_values(bk, bv, pk)
 

@@ -49,6 +49,9 @@ from flash_hash_join_tpu.api import (  # noqa: F401
     join_materialize,
     distributed_join_count,
     distributed_join_materialize,
+    measure_device_seconds,
+    plan_strategy,
+    bloom_is_distinct,
 )
 
 __version__ = "0.3.0"

@@ -95,12 +95,11 @@ def vmem_materialize_graph(*args, r_slots, interpret):
                                       interpret=interpret)
 
 
-@functools.lru_cache(maxsize=256)
-def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
+def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
               probe_chunks: int = 1, w_mult: int = 1):
-    """AOT-compile the join graph for a shape/config signature."""
+    """The uncompiled join graph for a shape/config signature."""
     if strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
     elif strategy == "vmem":
@@ -135,6 +134,10 @@ def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
         graph = join_count_graph if mode == "count" else join_materialize_graph
         fn = functools.partial(graph, cfg=cfg, gbits=gbits,
                                use_bloom=use_bloom)
+    return fn
+
+
+def _aot(fn, n_build: int, n_probe: int):
     u32 = jnp.uint32
     i32 = jnp.int32
     spec = lambda n: jax.ShapeDtypeStruct((n,), u32)  # noqa: E731
@@ -145,6 +148,69 @@ def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
                spec(n_probe), spec(n_probe), sc, sc)
         .compile()
     )
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
+              use_bloom: bool, cfg: JoinConfig, gbits: int,
+              order: str = "hash", narrow_values: bool = False,
+              probe_chunks: int = 1, w_mult: int = 1):
+    """AOT-compile the join graph for a shape/config signature."""
+    return _aot(_graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg,
+                          gbits, order, narrow_values, probe_chunks, w_mult),
+                n_build, n_probe)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_chained(n_build: int, n_probe: int, mode: str, strategy: str,
+                      use_bloom: bool, cfg: JoinConfig, gbits: int,
+                      order: str, narrow_values: bool, w_mult: int,
+                      reps: int):
+    """`reps` joins chained inside one scan, each on key-remixed inputs.
+
+    Used for steady-state device timing: per-join device seconds =
+    (t_chained - t_single)/(reps - 1), which cancels the flat per-dispatch
+    overhead of this image's axon tunnel (~31 ms) that a real deployment
+    does not pay and the reference's in-process SimpleTimer never sees
+    (hash_join.cpp:45-55 starts after pybind marshaling).
+
+    The remix adds a per-step constant to the u64 keys of BOTH sides
+    (carry-propagated add, a key-space bijection) so the match structure —
+    and therefore the count — is invariant and assertable, while XLA can
+    neither CSE steps against each other nor hoist the sorts out of the
+    scan.  Addition (not xor) keeps the key-space density profile, so
+    window planning behaves as on the real inputs.  Returns
+    (count_sum, special3_sum, fold) — fold consumes materialize outputs so
+    XLA cannot prune the output-writing work.
+    """
+    fn = _graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg, gbits,
+                   order, narrow_values, 1, w_mult)
+
+    def chained(kh, kl, vh, vl, ph, pl, nb, npv):
+        def step(carry, i):
+            r = (i + jnp.uint32(1)) * jnp.uint32(0x9E3779B1)
+            lo_b = kl + r
+            hi_b = kh + (lo_b < kl).astype(jnp.uint32)
+            lo_p = pl + r
+            hi_p = ph + (lo_p < pl).astype(jnp.uint32)
+            out = fn(hi_b, lo_b, vh, vl, hi_p, lo_p, nb, npv)
+            cnt = out[0].astype(jnp.int32)
+            spec = out[-1][3].astype(jnp.int32)
+            fold = jnp.uint32(0)
+            if mode == "materialize":
+                # consume every output plane so XLA cannot prune the
+                # output-writing work (wrapping u32 sum; not asserted on)
+                fold = jnp.sum(out[1] ^ out[2] ^ out[3] ^ out[4],
+                               dtype=jnp.uint32)
+            c_acc, s_acc, f_acc = carry
+            return (c_acc + cnt, s_acc + spec, f_acc ^ fold), None
+
+        init = (jnp.int32(0), jnp.int32(0), jnp.uint32(0))
+        (c, s, f), _ = jax.lax.scan(
+            step, init, jnp.arange(reps, dtype=jnp.uint32))
+        return c, s, f
+
+    return _aot(chained, n_build, n_probe)
 
 
 class JoinEngine:
@@ -168,6 +234,16 @@ class JoinEngine:
             else 1,
             w_mult if strategy == "partitioned" else 1,
         )
+
+    def prepare_chained(self, n_build, n_probe, mode, strategy, use_bloom,
+                        reps, gbits=None, order="hash", narrow_values=False,
+                        w_mult=1):
+        if gbits is None:
+            gbits = self.cfg.group_bits(n_build)
+        return _compiled_chained(
+            n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits,
+            order, narrow_values and mode == "materialize",
+            w_mult if strategy == "partitioned" else 1, reps)
 
     def run(self, compiled, device_args):
         out = compiled(*device_args)

@@ -99,3 +99,29 @@ def test_api_narrow_density_mismatch_ladder():
     assert count2 == expected
     lut = dict(zip(bk.tolist(), bv.tolist()))
     assert all(lut[k] == v for k, v in zip(keys.tolist(), vals.tolist()))
+
+
+def test_measure_device_seconds_chained_invariance():
+    """The chained-delta device timer must reproduce the exact count on
+    every remixed step (engine._compiled_chained) for count AND
+    materialize, on both the partitioned and global strategies."""
+    rng = np.random.default_rng(7)
+    nb, npr = 30_000, 60_000
+    bk = rng.integers(0, 40_000, nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, 40_000, npr, dtype=np.uint64)
+    want = oracle_count(bk, pk)
+    for mode in ("count", "materialize"):
+        for strat in ("adaptive", "global"):
+            count, dev, single, chained = fj.measure_device_seconds(
+                bk, bv, pk, mode=mode, strategy=strat, reps=3, number=1)
+            assert count == want, (mode, strat, count, want)
+            assert dev > 0 and single > 0
+
+
+def test_bloom_alias_introspection():
+    # bloom only changes the compiled graph on the global strategy
+    assert fj.bloom_is_distinct(10_000, 10_000, strategy="global")
+    assert not fj.bloom_is_distinct(10_000, 10_000, strategy="partitioned")
+    assert fj.plan_strategy(10_000, 10_000) in (
+        "partitioned", "vmem", "global", "merge")
