@@ -87,12 +87,36 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     if strategy == "adaptive":
         strategy = plan.strategy
     probe_chunks = plan.probe_chunks if strategy == "partitioned" else 1
-    if probe_chunks > 1 and mode == "materialize":
-        raise MemoryError(
-            f"materialize of {npr} probe rows exceeds the single-chip HBM "
-            f"feasibility model ({probe_chunks} chunks would be needed and "
-            "materialize outputs are probe-sized); shard the probe side "
-            "with flash_hash_join_tpu.parallel instead")
+    if probe_chunks > 1:
+        # Feasibility model says the probe side exceeds single-chip HBM
+        # in one shot (models/cost.py): stream chunks from the host — the
+        # reference's morsel loop writ large (hash_join.cpp:302,:347) —
+        # so only the build side plus ONE chunk is device-resident.
+        # Counts are additive over probe chunks; materialize outputs
+        # concatenate (first-match semantics are per-probe-row).
+        chunk = -(-npr // probe_chunks)
+        total, core = 0, 0.0
+        arrs = ([], []) if (return_arrays and mode == "materialize") else None
+        for i in range(0, npr, chunk):
+            res = _run_join(build_keys, build_values,
+                            probe_keys[i:i + chunk], mode=mode,
+                            strategy=strategy, use_bloom=use_bloom,
+                            return_arrays=return_arrays)
+            total += res[0]
+            core += res[1]
+            if arrs is not None:
+                arrs[0].append(res[2])
+                arrs[1].append(res[3])
+        if return_info:
+            return total, core, dict(strategy=strategy, order=None,
+                                     w_mult=1, narrow_values=False,
+                                     use_bloom=use_bloom, compiled=None,
+                                     args=None, nb=nb, npr=npr,
+                                     probe_chunks=probe_chunks)
+        if arrs is not None:
+            return (total, core, np.concatenate(arrs[0]),
+                    np.concatenate(arrs[1]))
+        return total, core
 
     # Type-specialized codegen (the standard DB move), checked host-side,
     # outside core_seconds — like the reference's pybind marshaling, which
@@ -119,8 +143,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     compiled = eng.prepare(nb, npr, mode, strategy, use_bloom,
                            order=orders[0][0] or "hash",
                            w_mult=orders[0][1],
-                           narrow_values=narrow_values,
-                           probe_chunks=probe_chunks)
+                           narrow_values=narrow_values)
 
     kh, kl = u64.split_u64(build_keys)
     vh, vl = u64.split_u64(build_values)
@@ -156,8 +179,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
             break
         compiled = eng.prepare(nb, npr, mode, retry_strategy, use_bloom,
                                order=retry_order, w_mult=retry_wm,
-                               narrow_values=narrow_values,
-                               probe_chunks=probe_chunks)
+                               narrow_values=narrow_values)
         strategy, cur_order, cur_wm = retry_strategy, retry_order, retry_wm
         t0 = time.perf_counter()
         out = compiled(*args)
@@ -167,7 +189,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     if return_info:
         return int(out[0]), core_seconds, dict(
             strategy=strategy, order=cur_order, w_mult=cur_wm,
-            narrow_values=narrow_values, probe_chunks=probe_chunks,
+            narrow_values=narrow_values, probe_chunks=1,
             use_bloom=use_bloom, compiled=compiled, args=args,
             nb=nb, npr=npr)
     if mode == "count":

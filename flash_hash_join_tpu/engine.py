@@ -98,7 +98,7 @@ def vmem_materialize_graph(*args, r_slots, interpret):
 def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
-              probe_chunks: int = 1, w_mult: int = 1):
+              w_mult: int = 1):
     """The uncompiled join graph for a shape/config signature."""
     if strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
@@ -112,13 +112,12 @@ def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
         # order: "narrow" (32-bit keys) / "key" (64-bit, no hash column)
         # / "hash" (robust to any distribution); narrow_values drops the
         # value-hi plane.  All checked/chosen by the caller (api.py).
-        if mode == "count" and probe_chunks > 1:
-            # feasibility model said the probe side exceeds HBM single-shot
-            # (models/cost.py): stream it (range_table.py chunked graph)
-            fn = functools.partial(
-                rt.range_join_count_chunked, n_chunks=probe_chunks,
-                order=order, w_mult=w_mult, interpret=interpret)
-        elif mode == "count":
+        # NOTE: >HBM probe sides are streamed host-side (api.py chunk
+        # loop per models/cost.py), so every compiled graph here is
+        # single-shot; ops/range_table.py also offers an in-graph
+        # lax.scan variant (range_join_count_chunked) for callers whose
+        # probe fits device memory but whose transients do not.
+        if mode == "count":
             # C and W are shape-adaptive (rt.default_C / rt.plan_window,
             # computed inside from the static arg shapes); w_mult widens
             # the window on density-mismatch retries (api.py ladder)
@@ -154,10 +153,10 @@ def _aot(fn, n_build: int, n_probe: int):
 def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
-              probe_chunks: int = 1, w_mult: int = 1):
+              w_mult: int = 1):
     """AOT-compile the join graph for a shape/config signature."""
     return _aot(_graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg,
-                          gbits, order, narrow_values, probe_chunks, w_mult),
+                          gbits, order, narrow_values, w_mult),
                 n_build, n_probe)
 
 
@@ -184,7 +183,7 @@ def _compiled_chained(n_build: int, n_probe: int, mode: str, strategy: str,
     XLA cannot prune the output-writing work.
     """
     fn = _graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg, gbits,
-                   order, narrow_values, 1, w_mult)
+                   order, narrow_values, w_mult)
 
     def chained(kh, kl, vh, vl, ph, pl, nb, npv):
         def step(carry, i):
@@ -223,15 +222,12 @@ class JoinEngine:
         return choose_plan(n_build, n_probe, self.cfg, mode)
 
     def prepare(self, n_build, n_probe, mode, strategy, use_bloom,
-                gbits=None, order="hash", narrow_values=False,
-                probe_chunks=1, w_mult=1):
+                gbits=None, order="hash", narrow_values=False, w_mult=1):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         return _compiled(
             n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits,
             order, narrow_values and mode == "materialize",
-            probe_chunks if (strategy == "partitioned" and mode == "count")
-            else 1,
             w_mult if strategy == "partitioned" else 1,
         )
 

@@ -14,17 +14,20 @@ The TPU replacement has two jobs:
 
 2. FEASIBILITY (this is what the reference's morsel loop does implicitly,
    hash_join.cpp:302,:347 — bounded working set regardless of probe
-   length): the partitioned tier sorts the probe side, whose transient
-   sort/pad/plane buffers scale with the CHUNK it processes, not the whole
-   stream.  `choose_plan` sizes probe chunks so that
+   length): probe chunks are streamed HOST-SIDE (api.py slices the numpy
+   probe array and reruns the per-chunk compiled graph), so the device
+   never holds more than
 
-       persistent (input planes)  16*nb + 8*np          bytes
-     + range table                ~16*nb (+8*nb values) bytes
-     + transient per chunk        ~32 (count) / ~64 (materialize) B/row
+       build planes + range table   ~32*nb            bytes
+     + one chunk's input planes     8  B/chunk-row
+     + one chunk's transients       ~40 (sort in/out, pad, kernel) B/row
 
-   stays inside HBM_BUDGET_BYTES.  Calibration anchors (v5e 16 GiB):
-   4e8-probe joins ran single-shot in round 2 (transient <= ~31 B/row) and
-   1e9 single-shot OOMs — so 1e9 probes plan ~6 chunks and stream
+   `choose_plan` sizes the chunk so that total stays inside
+   HBM_BUDGET_BYTES.  Calibration anchors (v5e 16 GiB): 1e8 joins ran
+   single-shot in round 2; a 1e9-probe IN-GRAPH chunked scan (whole probe
+   device-resident, round-3) ResourceExhausted'ed — which is why chunks
+   stream from the host: 1e9 probes plan ~5 chunks of ~240M rows
+   (~12 GB peak) and any probe length is feasible
    (docs/RESULTS.md "BASELINE config #3").
 """
 
@@ -37,14 +40,15 @@ from flash_hash_join_tpu.utils.config import JoinConfig
 # Usable VMEM per TPU core after pipeline buffers (of ~16 MiB physical).
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 # HBM working-set budget for a single-chip join (v5e: 16 GiB physical,
-# minus XLA runtime/fragmentation headroom).
-HBM_BUDGET_BYTES = 14 * 1024**3
+# minus XLA runtime/fragmentation headroom; 14 GiB proved optimistic — a
+# planned-in-budget 1e9 run ResourceExhausted'ed in round 3).
+HBM_BUDGET_BYTES = 12 * 1024**3
 
-# Transient device bytes per probe row while a chunk is in flight
-# (sort in/out copies, padded planes, kernel outputs).  Conservative upper
-# bounds calibrated against round-2/3 runs (see module docstring).
-TRANSIENT_BYTES_COUNT = 32
-TRANSIENT_BYTES_MATERIALIZE = 64
+# Device bytes per probe row while a chunk is in flight: 8 input-plane
+# bytes plus transient sort in/out copies, padded planes, kernel outputs.
+# Conservative upper bounds calibrated against round-2/3 runs.
+TRANSIENT_BYTES_COUNT = 40
+TRANSIENT_BYTES_MATERIALIZE = 80
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,22 +69,24 @@ def plan_probe_chunks(n_build: int, n_probe: int, mode: str,
                       budget_bytes: int = HBM_BUDGET_BYTES) -> int:
     """Number of probe chunks the partitioned tier must stream in.
 
-    1 means single-shot (the common case).  Materialize outputs are
-    probe-sized, so they count as persistent there.
+    1 means single-shot (the common case).  Chunks stream from the host
+    (api.py), so only the build side, the range table, and ONE chunk are
+    device-resident at a time — any probe length is feasible.
+    Materialize outputs are probe-sized and compacted on device, so its
+    per-row cost includes the output planes.
     """
-    persistent = 16 * n_build + 8 * n_probe
-    table = 16 * n_build + (8 * n_build if mode == "materialize" else 0)
+    fixed = 16 * n_build + 16 * n_build  # input planes + range table
     if mode == "materialize":
-        persistent += 16 * n_probe  # compacted output planes
-        per_row = TRANSIENT_BYTES_MATERIALIZE
+        fixed += 8 * n_build  # value planes in the table
+        per_row = 8 + 16 + TRANSIENT_BYTES_MATERIALIZE
     else:
-        per_row = TRANSIENT_BYTES_COUNT
-    avail = budget_bytes - persistent - table
+        per_row = 8 + TRANSIENT_BYTES_COUNT
+    avail = budget_bytes - fixed
     if avail <= 0:
-        # Inputs alone exceed the chip: no chunking can fix it; the caller
-        # gets the most-chunked plan we can express and XLA's allocator
-        # has the final word (multi-chip is the real answer — parallel/).
-        return max(1, -(-n_probe // max(1, n_probe // 64)))
+        raise MemoryError(
+            f"build side of {n_build} rows alone exceeds the single-chip "
+            "HBM feasibility budget; shard the build side with "
+            "flash_hash_join_tpu.parallel instead")
     chunk_rows = avail // per_row
     if chunk_rows >= n_probe:
         return 1

@@ -1,0 +1,77 @@
+"""BASELINE.json config #3 AT SPEC: 10M build x 1e9 probe, 5% match, 1 chip.
+
+VERDICT round-2 item 3: the partitioned tier used to sort the whole probe
+side in HBM, so 1e9 probes could not run single-chip; the feasibility model
+(models/cost.py plan_probe_chunks) now plans a chunked probe stream
+(range_table.range_join_count_chunked) through one range table.
+
+Runs the public adaptive API end-to-end, checks the exact count against the
+C++ host oracle, prints the core-seconds and throughput.
+
+Usage: PYTHONPATH=/root/.axon_site python scripts/run_config3.py [--probe 1e9]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build", type=float, default=1e7)
+    ap.add_argument("--probe", type=float, default=1e9)
+    ap.add_argument("--match", type=float, default=0.05)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+    nb, npr = int(args.build), int(args.probe)
+
+    import jax
+    log("devices:", jax.devices())
+    import flash_hash_join_tpu as fj
+    from flash_hash_join_tpu.models.cost import plan_probe_chunks
+    fj.initialize()
+
+    # uniform keys over a range sized for the target match rate
+    key_range = int(nb / args.match)
+    rng = np.random.default_rng(3)
+    log(f"generating {nb:,} build / {npr:,} probe keys over [0, {key_range:,})")
+    bk = rng.permutation(key_range)[:nb].astype(np.uint64)  # distinct builds
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, key_range, npr, dtype=np.uint64)
+
+    chunks = plan_probe_chunks(nb, npr, "count")
+    log(f"feasibility model: {chunks} probe chunk(s)")
+
+    t0 = time.time()
+    try:
+        from flash_hash_join_tpu.utils.native import host_join_count
+        expected = host_join_count(bk, pk)
+    except Exception as e:
+        log(f"host oracle unavailable ({e}); numpy oracle")
+        expected = int(np.isin(pk, bk).sum())
+    log(f"oracle count={expected:,} ({time.time()-t0:.1f}s)")
+
+    best = float("inf")
+    for i in range(args.repeats):
+        count, core = fj.adaptive_join_count(bk, bv, pk)
+        assert count == expected, (count, expected)
+        best = min(best, core)
+        log(f"run {i}: count={count:,} core={core:.3f}s")
+    print(f"CONFIG3,build={nb},probe={npr},match={args.match},"
+          f"chunks={chunks},core={best:.3f},rows_per_sec={npr/best:.3e},"
+          f"count={expected}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

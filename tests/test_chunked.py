@@ -92,3 +92,39 @@ def test_chunked_matches_single_shot():
                                          interpret=True)
     assert int(s1[3]) == 0 and int(s2[3]) == 0
     assert int(c1) == int(c2)
+
+
+def test_host_chunked_api_exact(monkeypatch):
+    """api streams probe chunks host-side when the plan says >1 chunk:
+    counts add up, materialize arrays concatenate, both exact."""
+    import collections
+
+    import flash_hash_join_tpu as fj
+    from flash_hash_join_tpu.engine import JoinEngine
+    from flash_hash_join_tpu.models.cost import JoinPlan
+
+    def fake_plan(self, nb, npr, mode="count"):
+        real = choose_plan(nb, npr, self.cfg, mode)
+        return JoinPlan(real.strategy, real.gbits,
+                        3 if npr >= 30_000 else 1)
+
+    monkeypatch.setattr(JoinEngine, "plan", fake_plan)
+    rng = np.random.default_rng(11)
+    nb, npr = 4_000, 50_000
+    bk = rng.integers(0, 6_000, nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, 6_000, npr, dtype=np.uint64)
+    expected = int(np.isin(pk, np.unique(bk)).sum())
+
+    count, core = fj.adaptive_join_count(bk, bv, pk)
+    assert count == expected and core > 0
+
+    c2, _, keys, vals = fj.join_materialize(bk, bv, pk, return_arrays=True)
+    assert c2 == expected
+    mask = np.isin(pk, np.unique(bk))
+    assert collections.Counter(keys.tolist()) == collections.Counter(
+        pk[mask].tolist())
+    lut = {}
+    for k, v in zip(bk.tolist(), bv.tolist()):
+        lut.setdefault(k, set()).add(v)
+    assert all(v in lut[k] for k, v in zip(keys.tolist(), vals.tolist()))
