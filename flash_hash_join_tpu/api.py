@@ -294,7 +294,7 @@ def bloom_is_distinct(n_build: int, n_probe: int, mode: str = "count",
 
 def measure_device_seconds(build_keys, build_values, probe_keys, *,
                            mode: str = "count", strategy: str = "adaptive",
-                           use_bloom: bool = False, reps: int = 4,
+                           use_bloom: bool = False, reps: int | None = None,
                            number: int = 3):
     """Steady-state per-join DEVICE seconds via the chained-delta method.
 
@@ -320,9 +320,19 @@ def measure_device_seconds(build_keys, build_values, probe_keys, *,
         use_bloom=use_bloom, return_info=True)
     if info is None:  # empty input
         return count, single, single, False
+    if reps is None:
+        # Size the chain so the timed DELTA clears the axon tunnel's
+        # ~±10 ms run-to-run jitter: single-call time minus the ~25-31 ms
+        # flat overhead estimates the per-join device time; target a
+        # ~0.3 s delta (measured: reps=4 on a 2 ms join reported 10x
+        # noise, round-3 small-mode profiling).
+        est_device = max(single - 0.025, 0.002)
+        reps = int(min(48, max(4, 1 + 0.3 / est_device)))
     # big counts would overflow the int32 invariance accumulator; huge
     # probe sides (chunked plans) dwarf the tunnel overhead anyway
-    if info["probe_chunks"] > 1 or count * reps >= 2**31:
+    if count * reps >= 2**31:
+        reps = (2**31 - 1) // max(count, 1)
+    if info["probe_chunks"] > 1 or reps < 2:
         return count, single, single, False
 
     eng = default_engine()

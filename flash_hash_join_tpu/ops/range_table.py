@@ -71,6 +71,19 @@ def default_C(n_build: int) -> int:
     return 32 if max(n_build, 1) <= SMALL_BUILD_ROWS else LARGE_C
 
 
+# SMALL-mode probe tile: the window is the whole (tiny) table for every
+# tile, so unlike the large path there is no W-grows-with-TM penalty —
+# and the per-tile fixed overhead (grid step, DMA semaphores) dominates
+# trivial-build joins at TM=32 (measured 2.0 ns/row on a 10-row build at
+# 1e7 probes, ~20x the scan cost).  Larger tiles amortize it.
+SMALL_TILE_M = 256
+
+
+def default_tile_m(small: bool, tile_m: int) -> int:
+    return SMALL_TILE_M if (small and tile_m == rp.DEFAULT_TILE_M) \
+        else tile_m
+
+
 def small_mode(n_build: int, C: int = rp.DEFAULT_C) -> bool:
     return -(-max(n_build, 1) // (LANES * C)) <= SMALL_S_CAP
 
@@ -303,11 +316,12 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     order = _order_of(narrow, order)
     if C is None:
         C = default_C(kh.shape[0])
+    small = small_mode(kh.shape[0], C)
+    tile_m = default_tile_m(small, tile_m)
     if W is None:
         S = max(1, -(-kh.shape[0] // (LANES * C)))
         W = min(plan_window(kh.shape[0], ph.shape[0], C=C,
                             tile_m=tile_m) * w_mult, S)
-    small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, order=order)
     planes, wstart, sp_count = _prep_probe(
@@ -343,13 +357,14 @@ def range_join_count_chunked(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     order = _order_of(narrow, order)
     if C is None:
         C = default_C(kh.shape[0])
+    small = small_mode(kh.shape[0], C)
+    tile_m = default_tile_m(small, tile_m)
     n = ph.shape[0]
     per_chunk = -(-n // n_chunks)
     if W is None:
         S = max(1, -(-kh.shape[0] // (LANES * C)))
         W = min(plan_window(kh.shape[0], per_chunk, C=C,
                             tile_m=tile_m) * w_mult, S)
-    small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, order=order)
 
@@ -407,10 +422,11 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     narrow = order == "narrow"
     if C is None:
         C = default_C(kh.shape[0])
+    small = small_mode(kh.shape[0], C)
+    tile_m = default_tile_m(small, tile_m)
     if W is None:
         S = max(1, -(-kh.shape[0] // (LANES * C)))
         W = min(plan_window(kh.shape[0], n, C=C, tile_m=tile_m) * w_mult, S)
-    small = small_mode(kh.shape[0], C)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=True, order=order,
                               narrow_values=narrow_values)
