@@ -46,9 +46,12 @@ HBM_BUDGET_BYTES = 12 * 1024**3
 
 # Device bytes per probe row while a chunk is in flight: 8 input-plane
 # bytes plus transient sort in/out copies, padded planes, kernel outputs.
-# Conservative upper bounds calibrated against round-2/3 runs.
+# Calibrated against round-3 runs: 1e9-count chunks of 250M rows ran at
+# ~12 GB peak (40 B/row transient); 1e8 materialize PROVED single-shot on
+# the chip (0.81 s, round 3) so its transient fits 56 B/row beyond the
+# 8+16 B/row input/output planes.
 TRANSIENT_BYTES_COUNT = 40
-TRANSIENT_BYTES_MATERIALIZE = 80
+TRANSIENT_BYTES_MATERIALIZE = 56
 
 
 @dataclasses.dataclass(frozen=True)
