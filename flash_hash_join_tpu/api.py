@@ -66,7 +66,7 @@ def _as_u64(arr) -> np.ndarray:
 
 def _run_join(build_keys, build_values, probe_keys, *, mode: str,
               strategy: str, use_bloom: bool, return_arrays: bool = False,
-              return_info: bool = False):
+              return_info: bool = False, _valid_probe_rows: int | None = None):
     build_keys = _as_u64(build_keys)
     build_values = _as_u64(build_values)
     probe_keys = _as_u64(probe_keys)
@@ -83,10 +83,17 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         return 0, 0.0
 
     eng = default_engine()
-    plan = eng.plan(nb, npr, mode)
+    # The feasibility plan models the partitioned tier only; explicitly
+    # requested merge/global/vmem strategies bypass it (their graphs have
+    # different footprints and must not fail on partitioned accounting).
     if strategy == "adaptive":
+        plan = eng.plan(nb, npr, mode)
         strategy = plan.strategy
-    probe_chunks = plan.probe_chunks if strategy == "partitioned" else 1
+        probe_chunks = plan.probe_chunks
+    elif strategy == "partitioned":
+        probe_chunks = eng.plan(nb, npr, mode).probe_chunks
+    else:
+        probe_chunks = 1
     if probe_chunks > 1:
         # Feasibility model says the probe side exceeds single-chip HBM
         # in one shot (models/cost.py): stream chunks from the host — the
@@ -94,14 +101,22 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         # so only the build side plus ONE chunk is device-resident.
         # Counts are additive over probe chunks; materialize outputs
         # concatenate (first-match semantics are per-probe-row).
+        # The last slice is PADDED to the uniform chunk length (with its
+        # true valid count passed through) so every chunk reuses one
+        # compiled program — a ragged tail would cost a second
+        # minutes-long AOT compile.
         chunk = -(-npr // probe_chunks)
         total, core = 0, 0.0
         arrs = ([], []) if (return_arrays and mode == "materialize") else None
         for i in range(0, npr, chunk):
-            res = _run_join(build_keys, build_values,
-                            probe_keys[i:i + chunk], mode=mode,
+            sl = probe_keys[i:i + chunk]
+            valid = len(sl)
+            if valid < chunk:
+                sl = np.pad(sl, (0, chunk - valid))
+            res = _run_join(build_keys, build_values, sl, mode=mode,
                             strategy=strategy, use_bloom=use_bloom,
-                            return_arrays=return_arrays)
+                            return_arrays=return_arrays,
+                            _valid_probe_rows=valid)
             total += res[0]
             core += res[1]
             if arrs is not None:
@@ -149,7 +164,8 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     vh, vl = u64.split_u64(build_values)
     ph, pl = u64.split_u64(probe_keys)
     args = [jax.device_put(a) for a in (kh, kl, vh, vl, ph, pl)]
-    args += [jax.device_put(np.int32(nb)), jax.device_put(np.int32(npr))]
+    np_valid = npr if _valid_probe_rows is None else _valid_probe_rows
+    args += [jax.device_put(np.int32(nb)), jax.device_put(np.int32(np_valid))]
     for a in args:
         a.block_until_ready()
 

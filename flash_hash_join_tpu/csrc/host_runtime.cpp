@@ -112,6 +112,19 @@ int resolve_threads(int nthreads) {
   return hc ? static_cast<int>(hc) : 1;
 }
 
+// Run fn(t) on one thread per chunk index t in [0, nt).
+template <typename Fn>
+void parallel_chunks(int nt, Fn fn) {
+  if (nt <= 1) {
+    if (nt == 1) fn(0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  for (int t = 0; t < nt; ++t) ts.emplace_back([=] { fn(t); });
+  for (auto& t : ts) t.join();
+}
+
 template <typename Fn>
 void parallel_ranges(int64_t n, int nthreads, Fn fn) {
   nthreads = resolve_threads(nthreads);
@@ -202,10 +215,13 @@ int64_t fhj_load_csv_u64(const char* path, int32_t column, uint64_t* out,
   if (!p) return 0;
   ++p;
 
-  // Split the body into per-thread chunks at line boundaries.
+  // Split the body into per-thread chunks at line boundaries; small
+  // bodies get fewer chunks so threads always have >= ~64 KB of work.
   int nt = resolve_threads(nthreads);
   int64_t body = end - p;
   if (body <= 0) return 0;
+  int64_t max_chunks = body / (1 << 16) + 1;
+  if (nt > max_chunks) nt = static_cast<int>(max_chunks);
   std::vector<const char*> starts{p};
   for (int t = 1; t < nt; ++t) {
     const char* cand = p + body * t / nt;
@@ -217,23 +233,21 @@ int64_t fhj_load_csv_u64(const char* path, int32_t column, uint64_t* out,
 
   // Pass 1: count rows per chunk so each thread writes to a disjoint range.
   std::vector<int64_t> rows(nt, 0);
-  parallel_ranges(nt, nt, [&](int64_t lo, int64_t hi, int) {
-    for (int64_t t = lo; t < hi; ++t) {
-      int64_t c = 0;
-      for (const char* q = starts[t]; q < starts[t + 1]; ++q) {
-        if (*q == '\n') ++c;
-      }
-      if (starts[t] < starts[t + 1] && starts[t + 1][-1] != '\n') ++c;
-      rows[t] = c;
+  parallel_chunks(nt, [&](int t) {
+    int64_t c = 0;
+    for (const char* q = starts[t]; q < starts[t + 1]; ++q) {
+      if (*q == '\n') ++c;
     }
+    if (starts[t] < starts[t + 1] && starts[t + 1][-1] != '\n') ++c;
+    rows[t] = c;
   });
   std::vector<int64_t> offs(nt + 1, 0);
   for (int t = 0; t < nt; ++t) offs[t + 1] = offs[t] + rows[t];
   if (offs[nt] > max_rows) return -3;
 
   std::atomic<int64_t> bad{0};
-  parallel_ranges(nt, nt, [&](int64_t lo, int64_t hi, int) {
-    for (int64_t t = lo; t < hi; ++t) {
+  parallel_chunks(nt, [&](int t) {
+    {
       const char* q = starts[t];
       const char* qe = starts[t + 1];
       int64_t w = offs[t];

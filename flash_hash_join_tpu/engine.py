@@ -226,7 +226,11 @@ class JoinEngine:
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         return _compiled(
-            n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits,
+            n_build, n_probe, mode, strategy,
+            # bloom only changes the global-strategy graph; normalize the
+            # cache key so `_bloom` aliases reuse the identical compiled
+            # program instead of paying a second minutes-long AOT compile
+            use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
             w_mult if strategy == "partitioned" else 1,
         )
@@ -237,7 +241,8 @@ class JoinEngine:
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         return _compiled_chained(
-            n_build, n_probe, mode, strategy, use_bloom, self.cfg, gbits,
+            n_build, n_probe, mode, strategy,
+            use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
             w_mult if strategy == "partitioned" else 1, reps)
 

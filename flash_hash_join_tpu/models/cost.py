@@ -23,12 +23,13 @@ The TPU replacement has two jobs:
      + one chunk's transients       ~40 (sort in/out, pad, kernel) B/row
 
    `choose_plan` sizes the chunk so that total stays inside
-   HBM_BUDGET_BYTES.  Calibration anchors (v5e 16 GiB): 1e8 joins ran
-   single-shot in round 2; a 1e9-probe IN-GRAPH chunked scan (whole probe
-   device-resident, round-3) ResourceExhausted'ed — which is why chunks
-   stream from the host: 1e9 probes plan ~5 chunks of ~240M rows
-   (~12 GB peak) and any probe length is feasible
-   (docs/RESULTS.md "BASELINE config #3").
+   HBM_BUDGET_BYTES.  Calibration anchors (v5e 16 GiB): a 1e9-probe
+   IN-GRAPH chunked scan (whole probe device-resident, round-3)
+   ResourceExhausted'ed — which is why chunks stream from the host; with
+   the shipped constants 1e9 probes plan 4 chunks of 250M rows (measured
+   on-chip: exact, ~12 GB peak, 2.34 s) and 1e8 materialize stays
+   single-shot (measured 0.78-0.81 s) — docs/RESULTS.md "BASELINE
+   config #3".
 """
 
 from __future__ import annotations
@@ -102,8 +103,9 @@ def choose_plan(n_build: int, n_probe: int, cfg: JoinConfig,
     """Pick strategy + chunking for a build/probe size pair.
 
     Strategy is measured-constant "partitioned" (see module docstring);
-    the real decision surface is feasibility: probe_chunks > 1 switches
-    the engine to the streamed-probe graph (range_join_count_chunked).
+    the real decision surface is feasibility: probe_chunks > 1 makes
+    api.py stream probe chunks host-side through the per-chunk compiled
+    graph.
     """
     return JoinPlan(
         "partitioned",

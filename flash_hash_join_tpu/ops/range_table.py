@@ -66,6 +66,12 @@ SMALL_BUILD_ROWS = LANES * 32 * SMALL_S_CAP  # 16384, at the small-mode C
 # (window == table, no probe sort) covers builds up to 16K rows.
 LARGE_C = 8
 
+# Structural kernel cap on the window: operand count and scan unrolling in
+# ops/pallas/range_probe.py scale linearly with W, so a widened retry
+# (w_mult) must re-cap here or risk a Mosaic/VMEM compile failure instead
+# of a clean fall-through to the next ladder rung.
+MAX_W = 64
+
 
 def default_C(n_build: int) -> int:
     return 32 if max(n_build, 1) <= SMALL_BUILD_ROWS else LARGE_C
@@ -103,7 +109,7 @@ def plan_window(n_build: int, n_probe: int, *, C: int = rp.DEFAULT_C,
         return S  # small mode: the window IS the table
     span = (tile_m * LANES * n_build) / max(n_probe, 1)
     W = int(span // (LANES * C)) + 2
-    return min(max(2, W), S, 64)  # never exceed the table's S super-rows
+    return min(max(2, W), S, MAX_W)  # never exceed the table's S super-rows
 
 
 class RangeTable(NamedTuple):
@@ -321,7 +327,7 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     if W is None:
         S = max(1, -(-kh.shape[0] // (LANES * C)))
         W = min(plan_window(kh.shape[0], ph.shape[0], C=C,
-                            tile_m=tile_m) * w_mult, S)
+                            tile_m=tile_m) * w_mult, S, MAX_W)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, order=order)
     planes, wstart, sp_count = _prep_probe(
@@ -344,11 +350,12 @@ def range_join_count_chunked(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     """Streamed-probe count: build the range table ONCE, scan probe chunks.
 
     The reference bounds its working set with a 2048-row morsel loop
-    regardless of probe length (hash_join.cpp:302,:347); the TPU analog
-    streams probe chunks through _prep_probe + kernel under lax.scan so the
-    transient sort/pad buffers scale with the CHUNK, making 1e9-probe
-    single-chip joins feasible (BASELINE config #3).  Chunk count comes
-    from the feasibility model (models/cost.py plan_probe_chunks).
+    regardless of probe length (hash_join.cpp:302,:347).  This is the
+    IN-GRAPH analog (lax.scan over chunks): transient sort/pad buffers
+    scale with the CHUNK, but the whole probe side stays device-resident —
+    which OOMs at 1e9 rows (8 GB of input planes), so the production path
+    (api.py) streams chunks from the HOST instead and this op remains the
+    alternative for probe sides that fit HBM but whose transients do not.
 
     Exactness: identical protocol to range_join_count — per-chunk
     unresolved counts accumulate into special[3]; max-key probes resolve
@@ -364,7 +371,7 @@ def range_join_count_chunked(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     if W is None:
         S = max(1, -(-kh.shape[0] // (LANES * C)))
         W = min(plan_window(kh.shape[0], per_chunk, C=C,
-                            tile_m=tile_m) * w_mult, S)
+                            tile_m=tile_m) * w_mult, S, MAX_W)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, order=order)
 
@@ -426,7 +433,8 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     tile_m = default_tile_m(small, tile_m)
     if W is None:
         S = max(1, -(-kh.shape[0] // (LANES * C)))
-        W = min(plan_window(kh.shape[0], n, C=C, tile_m=tile_m) * w_mult, S)
+        W = min(plan_window(kh.shape[0], n, C=C, tile_m=tile_m) * w_mult,
+                S, MAX_W)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=True, order=order,
                               narrow_values=narrow_values)

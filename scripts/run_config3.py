@@ -2,8 +2,8 @@
 
 VERDICT round-2 item 3: the partitioned tier used to sort the whole probe
 side in HBM, so 1e9 probes could not run single-chip; the feasibility model
-(models/cost.py plan_probe_chunks) now plans a chunked probe stream
-(range_table.range_join_count_chunked) through one range table.
+(models/cost.py plan_probe_chunks) now plans host-side chunk streaming
+(api.py slices the probe array and reruns one per-chunk compiled graph).
 
 Runs the public adaptive API end-to-end, checks the exact count against the
 C++ host oracle, prints the core-seconds and throughput.
