@@ -125,3 +125,17 @@ def test_bloom_alias_introspection():
     assert not fj.bloom_is_distinct(10_000, 10_000, strategy="partitioned")
     assert fj.plan_strategy(10_000, 10_000) in (
         "partitioned", "vmem", "global", "merge")
+
+
+def test_bloom_alias_reuses_compiled_program():
+    """use_bloom must not change the compile-cache key off the global
+    strategy — the alias twins share one AOT-compiled program."""
+    from flash_hash_join_tpu.engine import default_engine
+
+    eng = default_engine()
+    a = eng.prepare(1000, 2000, "count", "partitioned", False)
+    b = eng.prepare(1000, 2000, "count", "partitioned", True)
+    assert a is b
+    g1 = eng.prepare(1000, 2000, "count", "global", False)
+    g2 = eng.prepare(1000, 2000, "count", "global", True)
+    assert g1 is not g2
