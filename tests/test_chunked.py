@@ -128,3 +128,29 @@ def test_host_chunked_api_exact(monkeypatch):
     for k, v in zip(bk.tolist(), bv.tolist()):
         lut.setdefault(k, set()).add(v)
     assert all(v in lut[k] for k, v in zip(keys.tolist(), vals.tolist()))
+
+
+def test_plan_raises_on_oversized_build():
+    with pytest.raises(MemoryError):
+        plan_probe_chunks(10**9, 10**6, "count")
+
+
+def test_explicit_strategies_bypass_partitioned_plan(monkeypatch):
+    """merge/global/vmem requests must not consult (or trip) the
+    partitioned feasibility plan."""
+    import flash_hash_join_tpu as fj
+    from flash_hash_join_tpu.engine import JoinEngine
+
+    def exploding_plan(self, nb, npr, mode="count"):
+        raise AssertionError("plan() must not be called")
+
+    monkeypatch.setattr(JoinEngine, "plan", exploding_plan)
+    rng = np.random.default_rng(2)
+    bk = rng.integers(0, 3_000, 2_000, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, 2_000, dtype=np.uint64)
+    pk = rng.integers(0, 3_000, 5_000, dtype=np.uint64)
+    want = int(np.isin(pk, np.unique(bk)).sum())
+    c, _ = fj.join_count(bk, bv, pk, strategy="merge")
+    assert c == want
+    c, _ = fj.join_count(bk, bv, pk, strategy="global")
+    assert c == want
