@@ -316,3 +316,20 @@ def test_api_order_retry_ladder_on_density_mismatch():
                                       dtype=np.uint64)])
     c, _ = fj.join_count(bk, bv, pk, strategy="partitioned")
     assert c == oracle_count(bk, pk)
+
+
+def test_small_mode_tile_and_window_caps():
+    from flash_hash_join_tpu.ops import range_table as rt
+    from flash_hash_join_tpu.ops.pallas import range_probe as rp
+
+    # SMALL mode bumps the probe tile (per-tile overhead amortization)
+    assert rt.default_tile_m(True, rp.DEFAULT_TILE_M) == rt.SMALL_TILE_M
+    # explicit tile_m is respected
+    assert rt.default_tile_m(True, 64) == 64
+    assert rt.default_tile_m(False, rp.DEFAULT_TILE_M) == rp.DEFAULT_TILE_M
+    # plan_window never exceeds the structural kernel cap, and a widened
+    # retry (w_mult) must re-cap: probe much smaller than build maxes the
+    # span estimate
+    W = rt.plan_window(10_000_000, 4096, C=8)
+    assert W <= rt.MAX_W
+    assert min(W * 4, rt.MAX_W) <= rt.MAX_W
