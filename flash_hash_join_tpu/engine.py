@@ -10,8 +10,11 @@ Strategies (picked by models/cost.py for "adaptive"):
   merge   — gather-free sort-merge join (ops/merge_join.py); the always-
             exact fallback (no quota/window failure modes).
   vmem    — Pallas VMEM bucket-table probe (ops/bucket_table.py +
-            ops/pallas/bucket_probe.py); small builds, huge probe streams;
-            measured 2.3B probe rows/s on v5e at 400 x 100M.
+            ops/pallas/bucket_probe.py).  Kept as an explicit tier: at its
+            best shape (400-row build x 100M probes) it measured 2.3B
+            rows/s in round 2, but the partitioned SMALL mode beats it
+            head-to-head at every J1 shape tried since (round-3: 2-5x at
+            40-40K-row builds), so the adaptive plan never picks it.
   global  — HBM bucketized-gather table (ops/hash_table.py); kept for
             completeness (XLA HBM gathers measured ~7-12 ns/probe).
   partitioned — the reference's radix regime (hash_join.cpp:316-381,
