@@ -72,6 +72,29 @@ LARGE_C = 8
 # of a clean fall-through to the next ladder rung.
 MAX_W = 64
 
+# BLOCKWISE probe mode (mid-size builds): sorting probes within 64K-element
+# blocks costs 0.41 ns/row vs 1.63 for the global sort (docs/DESIGN.md).
+# A tile of a block-sorted FULL block spans ~tile/BLOCK_M of the keyspace,
+# so the window must cover ~S*tile/BLOCK_M (+2 straddle) super-rows.  The
+# ragged tail (< BLOCK_M probes, plus any host-chunk validity tail) is NOT
+# sorted at all — it runs a second kernel pass with the window = the whole
+# table (SMALL mode's trick: exact unconditionally), which is why the gate
+# requires S <= BLOCKWISE_MAX_S (tail W = S must stay under MAX_W and its
+# whole-table scan must stay cheap).  At C=8/TM=32 this covers builds of
+# 16K..63K rows: exactly the band where SMALL mode has run out and the
+# global probe sort dominated (J1 Q2 shapes).
+BLOCK_M = 1 << 16
+BLOCKWISE_MAX_S = 62
+
+
+def blockwise_window(S: int, tile_m: int) -> int:
+    return -(-S * tile_m * LANES // BLOCK_M) + 2
+
+
+def blockwise_ok(n_build: int, n_probe: int, C: int, tile_m: int) -> bool:
+    S = max(1, -(-n_build // (LANES * C)))
+    return S <= BLOCKWISE_MAX_S and n_probe >= 2 * BLOCK_M
+
 
 def default_C(n_build: int) -> int:
     return 32 if max(n_build, 1) <= SMALL_BUILD_ROWS else LARGE_C
@@ -233,12 +256,22 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
 
 
 def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
-                tile_m: int, order: str, small: bool, valid_mask=None):
+                tile_m: int, order: str, small: bool, valid_mask=None,
+                blockwise: bool = False):
     """Sort probes by the order words, pad to tiles, compute window starts.
 
     In SMALL mode (W == S, the window is the whole table) the sort and the
     window-start search are skipped entirely — probes stay in input order
     and every column is in-window, so the join is exact unconditionally.
+
+    BLOCKWISE mode (mid-size builds, see `blockwise_ok`): probes are
+    sorted only within independent BLOCK_M-element blocks (measured 4x
+    cheaper than the global sort, docs/DESIGN.md).  Each tile is still
+    internally sorted, so per-tile window starts work unchanged; a tile
+    now spans ~tile/BLOCK_M of the keyspace instead of ~tile/n, so the
+    window must cover ~S*tile/BLOCK_M super-rows — affordable exactly
+    when the table is small enough (the kernel and its unresolved-counter
+    exactness protocol are untouched).
 
     Returns (probe_word_planes, wstart, sp_count) where sp_count is the
     number of valid maximum-key probes (resolved via the special channel,
@@ -283,8 +316,23 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
         planes = tuple(c.reshape(-1, LANES) for c in cols)
         return planes, jnp.zeros((ntiles,), jnp.int32), sp_count
 
-    sorted_cols = jax.lax.sort(tuple(cols), num_keys=len(cols),
-                               is_stable=False)
+    if blockwise:
+        # pad further to a BLOCK_M multiple; pad value is the MAX sentinel,
+        # which sorts to each block's tail and EMPTY-skips in the kernel
+        bpad = -(-npad // BLOCK_M) * BLOCK_M - npad
+        if bpad:
+            cols = [jnp.concatenate(
+                [c, jnp.full((bpad,), 0xFFFFFFFF, jnp.uint32)])
+                for c in cols]
+            npad += bpad
+            ntiles = npad // tile
+        blocked = tuple(c.reshape(-1, BLOCK_M) for c in cols)
+        sorted_cols = jax.lax.sort(blocked, num_keys=len(blocked),
+                                   is_stable=False, dimension=1)
+        sorted_cols = tuple(c.reshape(-1) for c in sorted_cols)
+    else:
+        sorted_cols = jax.lax.sort(tuple(cols), num_keys=len(cols),
+                                   is_stable=False)
 
     # window start per tile: L = #{boundaries strictly below the tile's
     # first probe on the FIRST order word} lower-bounds the first probe's
@@ -297,6 +345,37 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
 
     planes = tuple(c.reshape(-1, LANES) for c in sorted_cols)
     return planes, wstart, sp_count
+
+
+def _probe_parts(table, ph, pl, np_valid, *, S, W, C, tile_m, order,
+                 small, blockwise):
+    """Kernel invocation plan: [(planes, wstart, sp_count, W_part), ...].
+
+    One part normally; under BLOCKWISE two — the full 64K blocks (sorted
+    blockwise, window W) and the ragged tail (< BLOCK_M rows, unsorted,
+    window = whole table, exact unconditionally).  Validity splits with
+    the rows: the valid prefix of the tail is whatever np_valid leaves
+    beyond the full blocks.
+    """
+    if not blockwise:
+        planes, wstart, spc = _prep_probe(
+            table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, order=order,
+            small=small)
+        return [(planes, wstart, spc, W)]
+    n = ph.shape[0]
+    n_blk = (n // BLOCK_M) * BLOCK_M
+    nv = jnp.asarray(np_valid, jnp.int32)
+    nv_blk = jnp.minimum(nv, n_blk)
+    parts = []
+    p = _prep_probe(table, ph[:n_blk], pl[:n_blk], nv_blk, W=W, C=C,
+                    tile_m=tile_m, order=order, small=False,
+                    blockwise=True)
+    parts.append((*p, W))
+    if n_blk < n:
+        p = _prep_probe(table, ph[n_blk:], pl[n_blk:], nv - nv_blk,
+                        W=S, C=C, tile_m=tile_m, order=order, small=True)
+        parts.append((*p, S))
+    return parts
 
 
 _LAYOUTS = {"hash": rp.WIDE, "key": rp.KEYORDER, "narrow": rp.NARROW}
@@ -324,18 +403,28 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         C = default_C(kh.shape[0])
     small = small_mode(kh.shape[0], C)
     tile_m = default_tile_m(small, tile_m)
+    blockwise = (not small) and blockwise_ok(kh.shape[0], ph.shape[0], C,
+                                             tile_m)
+    S = max(1, -(-kh.shape[0] // (LANES * C)))
     if W is None:
-        S = max(1, -(-kh.shape[0] // (LANES * C)))
-        W = min(plan_window(kh.shape[0], ph.shape[0], C=C,
-                            tile_m=tile_m) * w_mult, S, MAX_W)
+        base = (blockwise_window(S, tile_m) if blockwise
+                else plan_window(kh.shape[0], ph.shape[0], C=C,
+                                 tile_m=tile_m))
+        W = min(base * w_mult, S, MAX_W)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, order=order)
-    planes, wstart, sp_count = _prep_probe(
-        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, order=order,
-        small=small)
-    count, unresolved = rp.range_probe_count(
-        table.bnds, table.tks, planes, wstart, W=W, C=C, tile_m=tile_m,
-        layout=_LAYOUTS[order], interpret=interpret)
+    count = jnp.int32(0)
+    unresolved = jnp.int32(0)
+    sp_count = jnp.int32(0)
+    for planes, wstart, spc, Wp in _probe_parts(
+            table, ph, pl, np_valid, S=S, W=W, C=C, tile_m=tile_m,
+            order=order, small=small, blockwise=blockwise):
+        c, u = rp.range_probe_count(
+            table.bnds, table.tks, planes, wstart, W=Wp, C=C,
+            tile_m=tile_m, layout=_LAYOUTS[order], interpret=interpret)
+        count += c.astype(jnp.int32)
+        unresolved += u.astype(jnp.int32)
+        sp_count += spc
     count = count + sp_count * (table.special[0] > 0)
     special = table.special.at[3].set(unresolved.astype(jnp.uint32))
     return count.astype(jnp.int32), special
@@ -368,10 +457,14 @@ def range_join_count_chunked(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     tile_m = default_tile_m(small, tile_m)
     n = ph.shape[0]
     per_chunk = -(-n // n_chunks)
+    blockwise = (not small) and blockwise_ok(kh.shape[0], per_chunk, C,
+                                             tile_m)
+    S = max(1, -(-kh.shape[0] // (LANES * C)))
     if W is None:
-        S = max(1, -(-kh.shape[0] // (LANES * C)))
-        W = min(plan_window(kh.shape[0], per_chunk, C=C,
-                            tile_m=tile_m) * w_mult, S, MAX_W)
+        base = (blockwise_window(S, tile_m) if blockwise
+                else plan_window(kh.shape[0], per_chunk, C=C,
+                                 tile_m=tile_m))
+        W = min(base * w_mult, S, MAX_W)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=False, order=order)
 
@@ -396,14 +489,16 @@ def range_join_count_chunked(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         cnt, unres, spc = carry
         phx, plx, base = xs
         valid_c = jnp.clip(np_valid - base, 0, chunk_rows)
-        planes, wstart, sp_c = _prep_probe(
-            table, phx, plx, valid_c, W=W, C=C, tile_m=tile_m, order=order,
-            small=small)
-        c, u = rp.range_probe_count(
-            table.bnds, table.tks, planes, wstart, W=W, C=C, tile_m=tile_m,
-            layout=_LAYOUTS[order], interpret=interpret)
-        return (cnt + c.astype(jnp.int32), unres + u.astype(jnp.int32),
-                spc + sp_c), None
+        for planes, wstart, sp_c, Wp in _probe_parts(
+                table, phx, plx, valid_c, S=S, W=W, C=C, tile_m=tile_m,
+                order=order, small=small, blockwise=blockwise):
+            c, u = rp.range_probe_count(
+                table.bnds, table.tks, planes, wstart, W=Wp, C=C,
+                tile_m=tile_m, layout=_LAYOUTS[order], interpret=interpret)
+            cnt += c.astype(jnp.int32)
+            unres += u.astype(jnp.int32)
+            spc += sp_c
+        return (cnt, unres, spc), None
 
     (count, unresolved, sp_count), _ = jax.lax.scan(
         body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
@@ -431,44 +526,58 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         C = default_C(kh.shape[0])
     small = small_mode(kh.shape[0], C)
     tile_m = default_tile_m(small, tile_m)
+    blockwise = (not small) and blockwise_ok(kh.shape[0], n, C, tile_m)
+    S = max(1, -(-kh.shape[0] // (LANES * C)))
     if W is None:
-        S = max(1, -(-kh.shape[0] // (LANES * C)))
-        W = min(plan_window(kh.shape[0], n, C=C, tile_m=tile_m) * w_mult,
-                S, MAX_W)
+        base = (blockwise_window(S, tile_m) if blockwise
+                else plan_window(kh.shape[0], n, C=C, tile_m=tile_m))
+        W = min(base * w_mult, S, MAX_W)
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=True, order=order,
                               narrow_values=narrow_values)
-    planes, wstart, _ = _prep_probe(
-        table, ph, pl, np_valid, W=W, C=C, tile_m=tile_m, order=order,
-        small=small)
-    hit_b, vh_b, vl_b, unresolved = rp.range_probe_materialize(
-        table.bnds, table.tks, table.tvs, planes, wstart,
-        W=W, C=C, tile_m=tile_m, layout=_LAYOUTS[order],
-        interpret=interpret)
-
-    npad = hit_b.size
-    hit = hit_b.reshape(-1).astype(jnp.bool_)
-    mvh = vh_b.reshape(-1)
-    mvl = vl_b.reshape(-1)
+    hits, vhs, vls, plane_parts, unresolved = [], [], [], [], jnp.int32(0)
+    for planes, wstart, _spc, Wp in _probe_parts(
+            table, ph, pl, np_valid, S=S, W=W, C=C, tile_m=tile_m,
+            order=order, small=small, blockwise=blockwise):
+        hit_b, vh_b, vl_b, u = rp.range_probe_materialize(
+            table.bnds, table.tks, table.tvs, planes, wstart,
+            W=Wp, C=C, tile_m=tile_m, layout=_LAYOUTS[order],
+            interpret=interpret)
+        hits.append(hit_b.reshape(-1))
+        vhs.append(vh_b.reshape(-1))
+        vls.append(vl_b.reshape(-1))
+        plane_parts.append(tuple(p.reshape(-1) for p in planes))
+        unresolved += u.astype(jnp.int32)
+    hit = jnp.concatenate(hits).astype(jnp.bool_) if len(hits) > 1 \
+        else hits[0].astype(jnp.bool_)
+    mvh = jnp.concatenate(vhs) if len(vhs) > 1 else vhs[0]
+    mvl = jnp.concatenate(vls) if len(vls) > 1 else vls[0]
+    planes_flat = tuple(
+        (jnp.concatenate([pp[i] for pp in plane_parts])
+         if len(plane_parts) > 1 else plane_parts[0][i])
+        for i in range(len(plane_parts[0])))
+    npad = hit.shape[0]
     if narrow:
         pks_h = jnp.zeros((npad,), jnp.uint32)
-        pks_l = planes[0].reshape(-1)
+        pks_l = planes_flat[0]
         sorted_is_max = pks_l == EMPTY32
     elif order == "key":
-        pks_h = planes[0].reshape(-1)
-        pks_l = planes[1].reshape(-1)
+        pks_h = planes_flat[0]
+        pks_l = planes_flat[1]
         sorted_is_max = (pks_h == EMPTY32) & (pks_l == EMPTY32)
     else:
-        pks_h = planes[1].reshape(-1)
-        pks_l = planes[2].reshape(-1)
+        pks_h = planes_flat[1]
+        pks_l = planes_flat[2]
         sorted_is_max = (pks_h == EMPTY32) & (pks_l == EMPTY32)
 
     # Maximum-key probes carry the EMPTY pattern in the kernel (no false
-    # hits); resolve them here via the special channel.  Sorted mode: they
-    # pool in the tail MAX run with padding/invalid rows (identical word
-    # tuples) — take the first n_max_valid of the run (interchangeable).
-    # Small mode: rows keep input order, so position < np_valid identifies
-    # the real ones directly.
+    # hits); resolve them here via the special channel.  Sorted modes:
+    # they pool in MAX runs with padding/invalid rows (identical word
+    # tuples, hence interchangeable) — one global tail run under the
+    # global sort, one PER BLOCK under the blockwise sort — so pick the
+    # first n_max_valid MAX positions by cumulative rank, which is
+    # layout-independent.  Small mode: rows keep input order, so
+    # position < np_valid identifies the real ones directly.
     has_max = table.special[0] > 0
     n_valid_i = jnp.asarray(np_valid, jnp.int32)
     rank = jnp.arange(npad, dtype=jnp.int32)
@@ -482,8 +591,8 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
             raw_max = (ph.astype(jnp.uint32) == EMPTY32) & (
                 pl.astype(jnp.uint32) == EMPTY32)
         n_max_valid = jnp.sum(raw_max & in_valid).astype(jnp.int32)
-        n_real = npad - jnp.sum(sorted_is_max).astype(jnp.int32)
-        sp_hit = sorted_is_max & (rank < n_real + n_max_valid) & has_max
+        max_rank = jnp.cumsum(sorted_is_max.astype(jnp.int32))
+        sp_hit = sorted_is_max & (max_rank <= n_max_valid) & has_max
     hit = hit | sp_hit
     mvh = jnp.where(sp_hit, table.special[1], mvh)
     mvl = jnp.where(sp_hit, table.special[2], mvl)

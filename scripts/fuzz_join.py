@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # tunnel and the iterations exercise compiled Mosaic kernels, not XLA's
 # compiler; distributions/seeds/values still vary per iteration.
 FIXED_SHAPES = [(7, 100_000), (1_000, 5_000), (30_000, 60_000),
-                (50_000, 50_000), (65_536, 131_072), (200_000, 400_000)]
+                (50_000, 50_000), (65_536, 131_072), (200_000, 400_000),
+                (40_000, 262_144)]  # last: BLOCKWISE probe mode band
 
 
 def gen_case(rng, fixed_shapes=False):

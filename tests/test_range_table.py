@@ -333,3 +333,68 @@ def test_small_mode_tile_and_window_caps():
     W = rt.plan_window(10_000_000, 4096, C=8)
     assert W <= rt.MAX_W
     assert min(W * 4, rt.MAX_W) <= rt.MAX_W
+
+
+def test_blockwise_probe_mode_exact():
+    """Mid-size build + big probe side triggers BLOCKWISE probe prep
+    (full 64K blocks sorted blockwise, ragged tail unsorted with a
+    whole-table window).  Count and materialize must stay exact,
+    including max-key sentinels and duplicate build keys."""
+    import jax.numpy as jnp
+    from flash_hash_join_tpu.ops import range_table as rt
+
+    nb, npr = 30_000, 200_000  # npr = 3 full blocks + 3392-row tail
+    assert rt.blockwise_ok(nb, npr, rt.default_C(nb), 32)
+    rng = np.random.default_rng(5)
+    bk = rng.integers(0, 40_000, nb, dtype=np.uint32)
+    bk[7] = 2**32 - 1              # max-key sentinel in the build
+    bv = rng.integers(0, 2**31, nb, dtype=np.uint32)
+    pk = rng.integers(0, 40_000, npr, dtype=np.uint32)
+    pk[123:150] = 2**32 - 1        # max-key probes in a full block
+    pk[-20:] = 2**32 - 1           # ... and in the ragged tail
+    expected = int(np.isin(pk, bk).sum())
+
+    z = jnp.zeros((nb,), jnp.uint32)
+    zp = jnp.zeros((npr,), jnp.uint32)
+    count, special = rt.range_join_count(
+        z, jnp.asarray(bk), z, jnp.asarray(bv), zp, jnp.asarray(pk),
+        nb, npr, narrow=True, interpret=True)
+    assert int(special[3]) == 0
+    assert int(count) == expected
+
+    out = rt.range_join_materialize(
+        z, jnp.asarray(bk), z, jnp.asarray(bv), zp, jnp.asarray(pk),
+        nb, npr, narrow=True, narrow_values=True, interpret=True)
+    cnt = int(out[0])
+    assert int(out[-1][3]) == 0
+    assert cnt == expected
+    keys = np.asarray(out[2])[:cnt]
+    vals = np.asarray(out[4])[:cnt]
+    # key multiset parity
+    mask = np.isin(pk, bk)
+    assert np.array_equal(np.sort(keys), np.sort(pk[mask].astype(np.uint32)))
+    # every (key, value) pair must exist in the build
+    lut = {}
+    for k, v in zip(bk.tolist(), bv.tolist()):
+        lut.setdefault(k, set()).add(v)
+    assert all(v in lut[k] for k, v in zip(keys.tolist(), vals.tolist()))
+
+
+def test_blockwise_validity_tail():
+    """Host-chunk style padded tails (np_valid < len) stay exact under
+    blockwise prep (invalid rows pool at block tails as MAX runs)."""
+    import jax.numpy as jnp
+    from flash_hash_join_tpu.ops import range_table as rt
+
+    nb, npr, nvalid = 20_000, 160_000, 140_000
+    rng = np.random.default_rng(6)
+    bk = rng.integers(0, 25_000, nb, dtype=np.uint32)
+    pk = rng.integers(0, 25_000, npr, dtype=np.uint32)
+    expected = int(np.isin(pk[:nvalid], bk).sum())
+    z = jnp.zeros((nb,), jnp.uint32)
+    zp = jnp.zeros((npr,), jnp.uint32)
+    count, special = rt.range_join_count(
+        z, jnp.asarray(bk), z, z, zp, jnp.asarray(pk), nb, nvalid,
+        narrow=True, interpret=True)
+    assert int(special[3]) == 0, int(special[3])
+    assert int(count) == expected
