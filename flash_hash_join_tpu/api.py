@@ -155,10 +155,12 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         narrow_values = (mode == "materialize"
                          and int(build_values.max()) < 2**32)
 
+    full_valid = _valid_probe_rows is None
     compiled = eng.prepare(nb, npr, mode, strategy, use_bloom,
                            order=orders[0][0] or "hash",
                            w_mult=orders[0][1],
-                           narrow_values=narrow_values)
+                           narrow_values=narrow_values,
+                           full_valid=full_valid)
 
     kh, kl = u64.split_u64(build_keys)
     vh, vl = u64.split_u64(build_values)
@@ -195,7 +197,8 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
             break
         compiled = eng.prepare(nb, npr, mode, retry_strategy, use_bloom,
                                order=retry_order, w_mult=retry_wm,
-                               narrow_values=narrow_values)
+                               narrow_values=narrow_values,
+                               full_valid=full_valid)
         strategy, cur_order, cur_wm = retry_strategy, retry_order, retry_wm
         t0 = time.perf_counter()
         out = compiled(*args)

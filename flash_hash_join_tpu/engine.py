@@ -101,7 +101,7 @@ def vmem_materialize_graph(*args, r_slots, interpret):
 def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
-              w_mult: int = 1):
+              w_mult: int = 1, full_valid: bool = True):
     """The uncompiled join graph for a shape/config signature."""
     if strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
@@ -123,15 +123,17 @@ def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
         if mode == "count":
             # C and W are shape-adaptive (rt.default_C / rt.plan_window,
             # computed inside from the static arg shapes); w_mult widens
-            # the window on density-mismatch retries (api.py ladder)
+            # the window on density-mismatch retries (api.py ladder);
+            # full_valid=False (host-chunk validity tails) disables the
+            # blockwise probe mode (rt.blockwise_ok)
             fn = functools.partial(
                 rt.range_join_count, order=order, w_mult=w_mult,
-                interpret=interpret)
+                full_valid=full_valid, interpret=interpret)
         else:
             fn = functools.partial(
                 rt.range_join_materialize, order=order,
                 narrow_values=narrow_values, w_mult=w_mult,
-                interpret=interpret)
+                full_valid=full_valid, interpret=interpret)
     else:  # "global"
         graph = join_count_graph if mode == "count" else join_materialize_graph
         fn = functools.partial(graph, cfg=cfg, gbits=gbits,
@@ -156,10 +158,10 @@ def _aot(fn, n_build: int, n_probe: int):
 def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
-              w_mult: int = 1):
+              w_mult: int = 1, full_valid: bool = True):
     """AOT-compile the join graph for a shape/config signature."""
     return _aot(_graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg,
-                          gbits, order, narrow_values, w_mult),
+                          gbits, order, narrow_values, w_mult, full_valid),
                 n_build, n_probe)
 
 
@@ -225,7 +227,8 @@ class JoinEngine:
         return choose_plan(n_build, n_probe, self.cfg, mode)
 
     def prepare(self, n_build, n_probe, mode, strategy, use_bloom,
-                gbits=None, order="hash", narrow_values=False, w_mult=1):
+                gbits=None, order="hash", narrow_values=False, w_mult=1,
+                full_valid=True):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         return _compiled(
@@ -236,6 +239,7 @@ class JoinEngine:
             use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
             w_mult if strategy == "partitioned" else 1,
+            full_valid or strategy != "partitioned",
         )
 
     def prepare_chained(self, n_build, n_probe, mode, strategy, use_bloom,

@@ -87,13 +87,32 @@ BLOCK_M = 1 << 16
 BLOCKWISE_MAX_S = 62
 
 
+def n_super_rows(n: int, C: int) -> int:
+    return max(1, -(-n // (LANES * C)))
+
+
 def blockwise_window(S: int, tile_m: int) -> int:
     return -(-S * tile_m * LANES // BLOCK_M) + 2
 
 
-def blockwise_ok(n_build: int, n_probe: int, C: int, tile_m: int) -> bool:
-    S = max(1, -(-n_build // (LANES * C)))
-    return S <= BLOCKWISE_MAX_S and n_probe >= 2 * BLOCK_M
+def blockwise_ok(n_build: int, n_probe: int, C: int, tile_m: int,
+                 full_valid: bool = True) -> bool:
+    """Gate for the BLOCKWISE probe mode.
+
+    Requires: the table small enough that the unsorted tail can run a
+    whole-table window (S <= BLOCKWISE_MAX_S); probe tiles that never
+    straddle two independently-sorted blocks (tile | BLOCK_M — a
+    straddling tile's below-window probes would be silently dropped, not
+    counted unresolved); enough probes to amortize; and NO validity tail
+    (full_valid) — invalid rows mask to the MAX sentinel BEFORE the block
+    sort, so a validity boundary mid-block compresses that block's valid
+    probes into window-overflowing tiles (exactness survives via the
+    unresolved fallback, but the mode would lose its point).
+    """
+    S = n_super_rows(n_build, C)
+    tile = tile_m * LANES
+    return (full_valid and S <= BLOCKWISE_MAX_S
+            and BLOCK_M % tile == 0 and n_probe >= 2 * BLOCK_M)
 
 
 def default_C(n_build: int) -> int:
@@ -114,7 +133,7 @@ def default_tile_m(small: bool, tile_m: int) -> int:
 
 
 def small_mode(n_build: int, C: int = rp.DEFAULT_C) -> bool:
-    return -(-max(n_build, 1) // (LANES * C)) <= SMALL_S_CAP
+    return -(-max(n_build, 1) // (LANES * C)) <= SMALL_S_CAP  # n_super_rows
 
 
 def plan_window(n_build: int, n_probe: int, *, C: int = rp.DEFAULT_C,
@@ -127,7 +146,7 @@ def plan_window(n_build: int, n_probe: int, *, C: int = rp.DEFAULT_C,
     inflation beyond W (duplicate runs, key-space skew in narrow mode) is
     caught by the unresolved counter.
     """
-    S = max(1, -(-n_build // (LANES * C)))
+    S = n_super_rows(n_build, C)
     if S <= SMALL_S_CAP:
         return S  # small mode: the window IS the table
     span = (tile_m * LANES * n_build) / max(n_probe, 1)
@@ -192,7 +211,7 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
     _, has_max, max_vh, max_vl = _special_channel(
         kh, kl, vh, vl, row_valid, narrow)
 
-    S = max(1, -(-n // (LANES * C)))
+    S = n_super_rows(n, C)
     npad = S * LANES * C
     pad = npad - n
 
@@ -317,15 +336,11 @@ def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
         return planes, jnp.zeros((ntiles,), jnp.int32), sp_count
 
     if blockwise:
-        # pad further to a BLOCK_M multiple; pad value is the MAX sentinel,
-        # which sorts to each block's tail and EMPTY-skips in the kernel
-        bpad = -(-npad // BLOCK_M) * BLOCK_M - npad
-        if bpad:
-            cols = [jnp.concatenate(
-                [c, jnp.full((bpad,), 0xFFFFFFFF, jnp.uint32)])
-                for c in cols]
-            npad += bpad
-            ntiles = npad // tile
+        # callers (_probe_parts) slice exact BLOCK_M multiples and the
+        # gate enforces tile | BLOCK_M, so no re-padding can be needed
+        if npad % BLOCK_M:
+            raise ValueError(
+                f"blockwise probe prep needs a BLOCK_M multiple, got {npad}")
         blocked = tuple(c.reshape(-1, BLOCK_M) for c in cols)
         sorted_cols = jax.lax.sort(blocked, num_keys=len(blocked),
                                    is_stable=False, dimension=1)
@@ -391,7 +406,7 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                      C: int | None = None, tile_m: int = rp.DEFAULT_TILE_M,
                      W: int | None = None, narrow: bool = False,
                      order: str | None = None, w_mult: int = 1,
-                     interpret: bool = False):
+                     full_valid: bool = True, interpret: bool = False):
     """Fused build+probe count.  Returns (count, special4) where
     special[3] = unresolved probes (caller must fall back if != 0).
 
@@ -404,8 +419,8 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     small = small_mode(kh.shape[0], C)
     tile_m = default_tile_m(small, tile_m)
     blockwise = (not small) and blockwise_ok(kh.shape[0], ph.shape[0], C,
-                                             tile_m)
-    S = max(1, -(-kh.shape[0] // (LANES * C)))
+                                             tile_m, full_valid)
+    S = n_super_rows(kh.shape[0], C)
     if W is None:
         base = (blockwise_window(S, tile_m) if blockwise
                 else plan_window(kh.shape[0], ph.shape[0], C=C,
@@ -458,8 +473,8 @@ def range_join_count_chunked(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     n = ph.shape[0]
     per_chunk = -(-n // n_chunks)
     blockwise = (not small) and blockwise_ok(kh.shape[0], per_chunk, C,
-                                             tile_m)
-    S = max(1, -(-kh.shape[0] // (LANES * C)))
+                                             tile_m, False)
+    S = n_super_rows(kh.shape[0], C)
     if W is None:
         base = (blockwise_window(S, tile_m) if blockwise
                 else plan_window(kh.shape[0], per_chunk, C=C,
@@ -514,6 +529,7 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                            W: int | None = None, narrow: bool = False,
                            order: str | None = None,
                            narrow_values: bool = False, w_mult: int = 1,
+                           full_valid: bool = True,
                            interpret: bool = False):
     """Fused build+probe materialize: (count, out_kh, out_kl, out_vh,
     out_vl, special).  Matched rows are compacted in sort order
@@ -526,8 +542,9 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         C = default_C(kh.shape[0])
     small = small_mode(kh.shape[0], C)
     tile_m = default_tile_m(small, tile_m)
-    blockwise = (not small) and blockwise_ok(kh.shape[0], n, C, tile_m)
-    S = max(1, -(-kh.shape[0] // (LANES * C)))
+    blockwise = (not small) and blockwise_ok(kh.shape[0], n, C, tile_m,
+                                             full_valid)
+    S = n_super_rows(kh.shape[0], C)
     if W is None:
         base = (blockwise_window(S, tile_m) if blockwise
                 else plan_window(kh.shape[0], n, C=C, tile_m=tile_m))
@@ -552,22 +569,25 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         else hits[0].astype(jnp.bool_)
     mvh = jnp.concatenate(vhs) if len(vhs) > 1 else vhs[0]
     mvl = jnp.concatenate(vls) if len(vls) > 1 else vls[0]
-    planes_flat = tuple(
-        (jnp.concatenate([pp[i] for pp in plane_parts])
-         if len(plane_parts) > 1 else plane_parts[0][i])
-        for i in range(len(plane_parts[0])))
+    def plane_flat(i):
+        if len(plane_parts) == 1:
+            return plane_parts[0][i]
+        return jnp.concatenate([pp[i] for pp in plane_parts])
+
     npad = hit.shape[0]
+    # only the key planes are read downstream (order "hash" also carries a
+    # hash plane at index 0 — never concatenated, never materialized)
     if narrow:
         pks_h = jnp.zeros((npad,), jnp.uint32)
-        pks_l = planes_flat[0]
+        pks_l = plane_flat(0)
         sorted_is_max = pks_l == EMPTY32
     elif order == "key":
-        pks_h = planes_flat[0]
-        pks_l = planes_flat[1]
+        pks_h = plane_flat(0)
+        pks_l = plane_flat(1)
         sorted_is_max = (pks_h == EMPTY32) & (pks_l == EMPTY32)
     else:
-        pks_h = planes_flat[1]
-        pks_l = planes_flat[2]
+        pks_h = plane_flat(1)
+        pks_l = plane_flat(2)
         sorted_is_max = (pks_h == EMPTY32) & (pks_l == EMPTY32)
 
     # Maximum-key probes carry the EMPTY pattern in the kernel (no false
