@@ -275,16 +275,20 @@ int64_t fhj_load_csv_u64(const char* path, int32_t column, uint64_t* out,
           // anything else non-numeric
           uint64_t v = 0;
           const char* r = field;
-          bool any = false;
+          bool any = false, overflow = false;
           while (r < qe && (*r == ' ' || *r == '"')) ++r;
           while (r < qe && *r >= '0' && *r <= '9') {
-            v = v * 10 + static_cast<uint64_t>(*r - '0');
+            uint64_t d = static_cast<uint64_t>(*r - '0');
+            // values beyond 2^64-1 must be counted bad, not wrapped
+            if (v > (UINT64_MAX - d) / 10) overflow = true;
+            v = v * 10 + d;
             ++r;
             any = true;
           }
           while (r < qe && (*r == ' ' || *r == '"' || *r == '\r')) ++r;
           bool clean_end = (r >= qe) || (*r == ',') || (*r == '\n');
-          if (!any || !clean_end) bad.fetch_add(1, std::memory_order_relaxed);
+          if (!any || !clean_end || overflow)
+            bad.fetch_add(1, std::memory_order_relaxed);
           out[w++] = v;
         }
         while (q < qe && *q != '\n') ++q;

@@ -231,6 +231,14 @@ class JoinEngine:
                 full_valid=True):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
+        full_valid = full_valid or strategy != "partitioned"
+        if strategy == "partitioned":
+            # a widened window capped back to the base window is the same
+            # program — normalize so the cache reuses the base compile
+            w_mult = rt.normalized_w_mult(n_build, n_probe, w_mult,
+                                          full_valid)
+        else:
+            w_mult = 1
         return _compiled(
             n_build, n_probe, mode, strategy,
             # bloom only changes the global-strategy graph; normalize the
@@ -238,8 +246,7 @@ class JoinEngine:
             # program instead of paying a second minutes-long AOT compile
             use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
-            w_mult if strategy == "partitioned" else 1,
-            full_valid or strategy != "partitioned",
+            w_mult, full_valid,
         )
 
     def prepare_chained(self, n_build, n_probe, mode, strategy, use_bloom,
@@ -247,11 +254,13 @@ class JoinEngine:
                         w_mult=1):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
+        w_mult = (rt.normalized_w_mult(n_build, n_probe, w_mult)
+                  if strategy == "partitioned" else 1)
         return _compiled_chained(
             n_build, n_probe, mode, strategy,
             use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
-            w_mult if strategy == "partitioned" else 1, reps)
+            w_mult, reps)
 
     def run(self, compiled, device_args):
         out = compiled(*device_args)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from flash_hash_join_tpu.ops.hashing import hash_u64
@@ -26,7 +27,8 @@ from flash_hash_join_tpu.ops.hash_table import home_group
 from flash_hash_join_tpu.ops.pallas import bucket_probe as bp
 from flash_hash_join_tpu.utils.config import next_pow2
 
-EMPTY32 = jnp.uint32(0xFFFFFFFF)
+EMPTY32 = np.uint32(0xFFFFFFFF)  # numpy: importing this module must not init the XLA backend
+#           (jax.distributed.initialize ordering, scripts/multihost_worker.py)
 LANES = 128
 BUCKET_BITS = 7          # 128 buckets = one lane each
 MAX_R_SLOTS = 512        # 64K slots, 256KB/plane VMEM ceiling

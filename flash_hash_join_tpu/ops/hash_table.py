@@ -34,11 +34,13 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from flash_hash_join_tpu.ops.hashing import hash_u64, bloom_word
 
-EMPTY32 = jnp.uint32(0xFFFFFFFF)
+EMPTY32 = np.uint32(0xFFFFFFFF)  # numpy: importing this module must not init the XLA backend
+#           (jax.distributed.initialize ordering, scripts/multihost_worker.py)
 _NEG_LARGE = -(2 ** 30)  # cast at use: no jnp at import time
 
 

@@ -69,6 +69,49 @@ def test_compact_by_mask_stream(n, density, seed):
             np.asarray(o)[: int(count)], c[mask])  # stable: input order
 
 
+@pytest.mark.parametrize("n,density,seed,bm,V", [
+    (1000, 0.5, 0, 128, 2), (70000, 0.03, 2, 256, 4),
+    (131072, 0.0, 3, 256, 3), (65536, 0.97, 4, 512, 4),
+    (5, 0.8, 5, 128, 1), (40000, 1.0, 6, 256, 2),
+    (99999, 0.33, 7, 1024, 4), (4096, 1.0, 8, 256, 1),
+])
+def test_compact_by_mask_pack(n, density, seed, bm, V):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    mask = rng.random(n) < density
+    cols = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(V)]
+    count, outs = sc.compact_by_mask_pack(
+        jnp.asarray(mask), tuple(jnp.asarray(c) for c in cols),
+        block_rows=bm, interpret=True)
+    assert int(count) == int(mask.sum())
+    for o, c in zip(outs, cols):
+        np.testing.assert_array_equal(
+            np.asarray(o)[: int(count)], c[mask])  # stable: input order
+
+
+def test_pack_matches_stream():
+    """The sort-free pack kernel and the blockwise-sort hybrid agree
+    bit-for-bit (both stable in input order)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 150000
+    mask = rng.random(n) < 0.6
+    cols = tuple(
+        jnp.asarray(rng.integers(0, 2**32, n, dtype=np.uint32))
+        for _ in range(4)
+    )
+    c1, o1 = sc.compact_by_mask_stream(jnp.asarray(mask), cols, n_out=n,
+                                       interpret=True)
+    c2, o2 = sc.compact_by_mask_pack(jnp.asarray(mask), cols, n_out=n,
+                                     interpret=True)
+    assert int(c1) == int(c2)
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(
+            np.asarray(a)[: int(c1)], np.asarray(b)[: int(c1)])
+
+
 def test_compact_stream_matches_compact_by_mask():
     import jax.numpy as jnp
     from flash_hash_join_tpu.ops.compact import compact_by_mask
