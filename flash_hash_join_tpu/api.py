@@ -95,43 +95,11 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     else:
         probe_chunks = 1
     if probe_chunks > 1:
-        # Feasibility model says the probe side exceeds single-chip HBM
-        # in one shot (models/cost.py): stream chunks from the host — the
-        # reference's morsel loop writ large (hash_join.cpp:302,:347) —
-        # so only the build side plus ONE chunk is device-resident.
-        # Counts are additive over probe chunks; materialize outputs
-        # concatenate (first-match semantics are per-probe-row).
-        # The last slice is PADDED to the uniform chunk length (with its
-        # true valid count passed through) so every chunk reuses one
-        # compiled program — a ragged tail would cost a second
-        # minutes-long AOT compile.
-        chunk = -(-npr // probe_chunks)
-        total, core = 0, 0.0
-        arrs = ([], []) if (return_arrays and mode == "materialize") else None
-        for i in range(0, npr, chunk):
-            sl = probe_keys[i:i + chunk]
-            valid = len(sl)
-            if valid < chunk:
-                sl = np.pad(sl, (0, chunk - valid))
-            res = _run_join(build_keys, build_values, sl, mode=mode,
+        return _run_chunked(build_keys, build_values, probe_keys, mode=mode,
                             strategy=strategy, use_bloom=use_bloom,
                             return_arrays=return_arrays,
-                            _valid_probe_rows=valid)
-            total += res[0]
-            core += res[1]
-            if arrs is not None:
-                arrs[0].append(res[2])
-                arrs[1].append(res[3])
-        if return_info:
-            return total, core, dict(strategy=strategy, order=None,
-                                     w_mult=1, narrow_values=False,
-                                     use_bloom=use_bloom, compiled=None,
-                                     args=None, nb=nb, npr=npr,
-                                     probe_chunks=probe_chunks)
-        if arrs is not None:
-            return (total, core, np.concatenate(arrs[0]),
-                    np.concatenate(arrs[1]))
-        return total, core
+                            return_info=return_info,
+                            probe_chunks=probe_chunks)
 
     # Type-specialized codegen (the standard DB move), checked host-side,
     # outside core_seconds — like the reference's pybind marshaling, which
@@ -141,21 +109,25 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     # unresolved probes.  64-bit keys go straight to "hash": the key-order
     # variant measured no faster at 4e7 (0.460 s vs 0.456 s) while adding
     # the density-mismatch retry risk.
+    full_valid = _valid_probe_rows is None
     narrow_values = False
     orders = [(None, 1)]
     if strategy == "partitioned":
+        from flash_hash_join_tpu.ops.range_table import normalized_w_mult
         narrow = (int(build_keys.max()) < 2**32
                   and int(probe_keys.max()) < 2**32)
         # rung 2 (narrow, w_mult=4): key-space density mismatch widens the
         # real window beyond plan_window's matched-density estimate; a 4x
         # window is far cheaper than falling all the way to the 3-column
-        # hash order
+        # hash order.  Skipped when the W cap makes it identical to rung 1
+        # (it could neither compile differently nor resolve the overflow).
         orders = ([("narrow", 1), ("narrow", 4), ("hash", 1)]
                   if narrow else [("hash", 1)])
+        orders = [(o, wm) for o, wm in orders
+                  if wm == 1 or normalized_w_mult(nb, npr, wm,
+                                                  full_valid) != 1]
         narrow_values = (mode == "materialize"
                          and int(build_values.max()) < 2**32)
-
-    full_valid = _valid_probe_rows is None
     compiled = eng.prepare(nb, npr, mode, strategy, use_bloom,
                            order=orders[0][0] or "hash",
                            w_mult=orders[0][1],
@@ -178,10 +150,24 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     # is the only faithful analog of the reference's SimpleTimer stop
     # (hash_join.cpp:45-55 — excludes marshaling, includes compute).
     with _maybe_profile():
-        t0 = time.perf_counter()
-        out = compiled(*args)
-        out[0].block_until_ready()
-        core_seconds = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            out = compiled(*args)
+            out[0].block_until_ready()
+            core_seconds = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 — filtered to OOM below
+            # A planned-single-shot run that still ResourceExhausts (the
+            # feasibility constants are calibrated, not guaranteed) falls
+            # back to host-side chunk streaming instead of propagating.
+            if not _is_oom(e) or strategy != "partitioned" \
+                    or _valid_probe_rows is not None:
+                raise
+            args = None  # free the device buffers before the retry
+            return _run_chunked(build_keys, build_values, probe_keys,
+                                mode=mode, strategy=strategy,
+                                use_bloom=use_bloom,
+                                return_arrays=return_arrays,
+                                return_info=return_info, probe_chunks=2)
 
     # All graphs return (..., special4); special[3] != 0 means the strategy
     # dropped keys (bucket/window overflow on adversarial inputs) — walk
@@ -219,6 +205,145 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         out_vals = u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:count]
         return count, core_seconds, out_keys, out_vals
     return count, core_seconds
+
+
+def _is_oom(e: Exception) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(e) or "Resource exhausted" in str(e)
+
+
+def _run_chunked(build_keys, build_values, probe_keys, *, mode: str,
+                 strategy: str, use_bloom: bool, return_arrays: bool,
+                 return_info: bool, probe_chunks: int):
+    """Host-side probe-chunk streaming with transfer/compute OVERLAP.
+
+    The feasibility model (models/cost.py plan_probe_chunks) said the probe
+    side exceeds single-chip HBM in one shot: stream chunks from the host —
+    the reference's morsel loop writ large (hash_join.cpp:302,:347).  Counts
+    are additive over probe chunks; materialize outputs concatenate
+    (first-match semantics are per-probe-row).  The last slice is PADDED to
+    the uniform chunk length (true valid count passed through) so every
+    chunk reuses ONE compiled program.
+
+    Depth-2 pipeline: chunk k+1's host slice/pad + H2D transfer + dispatch
+    are issued BEFORE blocking on chunk k's scalar, so the transfer rides
+    under chunk k's compute (at most two chunks device-resident, which
+    plan_probe_chunks budgets for).  FHJ_CHUNK_OVERLAP=0 restores the
+    serial loop, whose summed per-chunk blocking times are the "summed
+    device time" comparison point (scripts/run_config3.py prints both).
+
+    Feasibility constants are calibrated, not guaranteed: if a
+    planned-feasible chunk still ResourceExhausts, the chunk count doubles
+    and the stream retries (mirror of the grown-quota exactness retry).
+    """
+    overlap = os.environ.get("FHJ_CHUNK_OVERLAP", "1") != "0"
+    while True:
+        try:
+            return _stream_chunks(
+                build_keys, build_values, probe_keys, mode=mode,
+                strategy=strategy, use_bloom=use_bloom,
+                return_arrays=return_arrays, return_info=return_info,
+                probe_chunks=probe_chunks, overlap=overlap)
+        except Exception as e:  # noqa: BLE001 — filtered to OOM below
+            if not _is_oom(e) or probe_chunks >= 65536:
+                raise
+            probe_chunks *= 2
+
+
+def _stream_chunks(build_keys, build_values, probe_keys, *, mode: str,
+                   strategy: str, use_bloom: bool, return_arrays: bool,
+                   return_info: bool, probe_chunks: int, overlap: bool):
+    eng = default_engine()
+    nb, npr = len(build_keys), len(probe_keys)
+    chunk = -(-npr // probe_chunks)
+    # Narrow-order decision from the GLOBAL key maxes (not per-chunk) so
+    # every chunk shares one compiled program.
+    narrow = (strategy == "partitioned" and int(build_keys.max()) < 2**32
+              and int(probe_keys.max()) < 2**32)
+    order = "narrow" if narrow else "hash"
+    narrow_values = (strategy == "partitioned" and mode == "materialize"
+                     and int(build_values.max()) < 2**32)
+    compiled = eng.prepare(nb, chunk, mode, strategy, use_bloom, order=order,
+                           w_mult=1, narrow_values=narrow_values,
+                           full_valid=False)
+    kh, kl = u64.split_u64(build_keys)
+    vh, vl = u64.split_u64(build_values)
+    bargs = [jax.device_put(a) for a in (kh, kl, vh, vl)]
+    nb_dev = jax.device_put(np.int32(nb))
+    for a in bargs:
+        a.block_until_ready()
+
+    def issue(i):
+        sl = probe_keys[i:i + chunk]
+        valid = len(sl)
+        if valid < chunk:
+            sl = np.pad(sl, (0, chunk - valid))
+        ph, pl = u64.split_u64(sl)
+        args = bargs + [jax.device_put(ph), jax.device_put(pl), nb_dev,
+                        jax.device_put(np.int32(valid))]
+        if not overlap:
+            for a in args:
+                a.block_until_ready()
+            t0 = time.perf_counter()
+            out = compiled(*args)
+            out[0].block_until_ready()
+            return out, valid, i, time.perf_counter() - t0
+        return compiled(*args), valid, i, 0.0
+
+    total, core = 0, 0.0
+    arrs = ([], []) if (return_arrays and mode == "materialize") else None
+
+    def drain(pending):
+        nonlocal total, core
+        out, valid, i, dt = pending
+        out[0].block_until_ready()
+        if int(np.asarray(out[-1])[3]) != 0:
+            # strategy overflow on this chunk: serial retry ladder,
+            # rare by construction (adversarial key distributions)
+            sl = probe_keys[i:i + chunk]
+            v = len(sl)
+            if v < chunk:
+                sl = np.pad(sl, (0, chunk - v))
+            res = _run_join(build_keys, build_values, sl, mode=mode,
+                            strategy=strategy, use_bloom=use_bloom,
+                            return_arrays=arrs is not None,
+                            _valid_probe_rows=v)
+            total += res[0]
+            core += res[1]
+            if arrs is not None:
+                arrs[0].append(res[2])
+                arrs[1].append(res[3])
+            return
+        total += int(out[0])
+        core += dt
+        if arrs is not None:
+            c = int(out[0])
+            arrs[0].append(
+                u64.join_u64(np.asarray(out[1]), np.asarray(out[2]))[:c])
+            arrs[1].append(
+                u64.join_u64(np.asarray(out[3]), np.asarray(out[4]))[:c])
+
+    t_wall0 = time.perf_counter()
+    pending = issue(0)
+    for nxt in range(chunk, npr, chunk):
+        nxt_pending = issue(nxt)  # overlap: in flight while we drain k
+        drain(pending)
+        pending = nxt_pending
+    drain(pending)
+    if overlap:
+        # Per-chunk device deltas don't exist under pipelining; the honest
+        # number is the wall time of the dispatch+drain loop (includes the
+        # overlapped H2D transfers — they are intrinsic to streaming).
+        core = time.perf_counter() - t_wall0
+
+    if return_info:
+        return total, core, dict(strategy=strategy, order=None,
+                                 w_mult=1, narrow_values=narrow_values,
+                                 use_bloom=use_bloom, compiled=None,
+                                 args=None, nb=nb, npr=npr,
+                                 probe_chunks=probe_chunks)
+    if arrs is not None:
+        return total, core, np.concatenate(arrs[0]), np.concatenate(arrs[1])
+    return total, core
 
 
 # --- reference-parity API (13 functions, hash_join.cpp:603-639) -------------
@@ -299,7 +424,13 @@ def plan_strategy(n_build: int, n_probe: int, mode: str = "count") -> str:
     their plain twin (bloom only changes the executed graph on the
     'global' strategy — measured counterproductive elsewhere, see
     docs/RESULTS.md 'bloom verdict')."""
-    return default_engine().plan(n_build, n_probe, mode).strategy
+    try:
+        return default_engine().plan(n_build, n_probe, mode).strategy
+    except MemoryError:
+        # plan() raises when even the BUILD side exceeds the HBM budget;
+        # the strategy answer is shape-independent of that feasibility
+        # check, and this is a pure introspection helper — never raise.
+        return "partitioned"
 
 
 def bloom_is_distinct(n_build: int, n_probe: int, mode: str = "count",

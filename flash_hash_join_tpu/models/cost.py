@@ -94,6 +94,10 @@ def plan_probe_chunks(n_build: int, n_probe: int, mode: str,
     chunk_rows = avail // per_row
     if chunk_rows >= n_probe:
         return 1
+    # Streaming runs a depth-2 pipeline (api.py _run_chunked): the NEXT
+    # chunk's input planes (8 B/row) are device-resident while the current
+    # chunk executes, so chunked plans budget for both.
+    chunk_rows = avail // (per_row + 8)
     return -(-n_probe // max(chunk_rows, 1))
 
 

@@ -130,6 +130,120 @@ def test_host_chunked_api_exact(monkeypatch):
     assert all(v in lut[k] for k, v in zip(keys.tolist(), vals.tolist()))
 
 
+def test_host_chunked_serial_mode_matches(monkeypatch):
+    """FHJ_CHUNK_OVERLAP=0 (per-chunk device timing) and the default
+    depth-2 pipeline produce identical results."""
+    import flash_hash_join_tpu as fj
+    from flash_hash_join_tpu.engine import JoinEngine
+    from flash_hash_join_tpu.models.cost import JoinPlan
+
+    def fake_plan(self, nb, npr, mode="count"):
+        real = choose_plan(nb, npr, self.cfg, mode)
+        return JoinPlan(real.strategy, real.gbits,
+                        3 if npr >= 30_000 else 1)
+
+    monkeypatch.setattr(JoinEngine, "plan", fake_plan)
+    rng = np.random.default_rng(17)
+    nb, npr = 4_000, 50_000
+    bk = rng.integers(0, 6_000, nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, 6_000, npr, dtype=np.uint64)
+    expected = int(np.isin(pk, np.unique(bk)).sum())
+
+    count, _ = fj.adaptive_join_count(bk, bv, pk)
+    monkeypatch.setenv("FHJ_CHUNK_OVERLAP", "0")
+    count_serial, core_serial = fj.adaptive_join_count(bk, bv, pk)
+    assert count == count_serial == expected
+    assert core_serial > 0
+
+
+def test_chunked_oom_doubles_and_retries(monkeypatch):
+    """A planned-feasible chunk that still ResourceExhausts must double the
+    chunk count and retry, not propagate (VERDICT r3 item 7)."""
+    import flash_hash_join_tpu as fj
+    from flash_hash_join_tpu.engine import JoinEngine
+    from flash_hash_join_tpu.models.cost import JoinPlan
+
+    def fake_plan(self, nb, npr, mode="count"):
+        real = choose_plan(nb, npr, self.cfg, mode)
+        return JoinPlan(real.strategy, real.gbits,
+                        2 if npr >= 8_000 else 1)
+
+    real_prepare = JoinEngine.prepare
+    booms = []
+
+    def fake_prepare(self, n_build, n_probe, mode, strategy, use_bloom,
+                     **kw):
+        compiled = real_prepare(self, n_build, n_probe, mode, strategy,
+                                use_bloom, **kw)
+        if n_probe > 3_000:  # "too big for the device" in this test
+            def boom(*a):
+                booms.append(n_probe)
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory (synthetic)")
+            return boom
+        return compiled
+
+    monkeypatch.setattr(JoinEngine, "plan", fake_plan)
+    monkeypatch.setattr(JoinEngine, "prepare", fake_prepare)
+    rng = np.random.default_rng(23)
+    nb, npr = 1_000, 9_000
+    bk = rng.integers(0, 2_000, nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, 2_000, npr, dtype=np.uint64)
+    expected = int(np.isin(pk, np.unique(bk)).sum())
+
+    count, _ = fj.adaptive_join_count(bk, bv, pk)
+    assert count == expected
+    # planned 2 chunks (4500 rows) boomed, 4 chunks (2250) succeeded
+    assert booms and all(b > 3_000 for b in booms)
+
+
+def test_single_shot_oom_falls_back_to_chunks(monkeypatch):
+    """A planned-SINGLE-SHOT run that ResourceExhausts at execution time
+    must fall back to host-side chunk streaming."""
+    import flash_hash_join_tpu as fj
+    from flash_hash_join_tpu.engine import JoinEngine
+
+    real_prepare = JoinEngine.prepare
+    booms = []
+
+    def fake_prepare(self, n_build, n_probe, mode, strategy, use_bloom,
+                     **kw):
+        compiled = real_prepare(self, n_build, n_probe, mode, strategy,
+                                use_bloom, **kw)
+        if n_probe > 3_000:
+            def boom(*a):
+                booms.append(n_probe)
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory (synthetic)")
+            return boom
+        return compiled
+
+    monkeypatch.setattr(JoinEngine, "prepare", fake_prepare)
+    rng = np.random.default_rng(29)
+    nb, npr = 1_000, 10_000  # plans single-shot at this size
+    bk = rng.integers(0, 2_000, nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**63, nb, dtype=np.uint64)
+    pk = rng.integers(0, 2_000, npr, dtype=np.uint64)
+    expected = int(np.isin(pk, np.unique(bk)).sum())
+
+    count, _ = fj.adaptive_join_count(bk, bv, pk)
+    assert count == expected
+    assert booms  # the single-shot program did boom first
+
+
+def test_plan_budgets_depth2_pipeline():
+    """Chunked plans must reserve the pipelined next chunk's input planes:
+    once chunking triggers, chunks are sized for per_row + 8 bytes."""
+    nb, npr = 10_000_000, 1_000_000_000
+    n = plan_probe_chunks(nb, npr, "count")
+    fixed = 16 * nb + 16 * nb
+    avail = HBM_BUDGET_BYTES - fixed
+    chunk_rows = avail // (8 + 40 + 8)  # per_row + pipelined input planes
+    assert n == -(-npr // chunk_rows)
+
+
 def test_plan_raises_on_oversized_build():
     with pytest.raises(MemoryError):
         plan_probe_chunks(10**9, 10**6, "count")
