@@ -97,7 +97,7 @@ def _row_search(bnd_rows, probe_words):
     return cnt
 
 
-def _layout(refs, W, n_words, n_keys, n_values):
+def _layout(refs, W, n_words, n_keys, n_values, use_tags=False):
     """Split the flat kernel ref list into named groups."""
     nb = W + 1
     bnds = [refs[i * nb : (i + 1) * nb] for i in range(n_words)]
@@ -109,9 +109,13 @@ def _layout(refs, W, n_words, n_keys, n_values):
         tvs = [refs[base + i * W : base + (i + 1) * W]
                for i in range(n_values)]
         base += n_values * W
+    tags = None
+    if use_tags:
+        tags = refs[base : base + W]
+        base += W
     probes = refs[base : base + n_words]
     rest = refs[base + n_words :]
-    return bnds, tks, tvs, probes, rest
+    return bnds, tks, tvs, tags, probes, rest
 
 
 def _search(W, bnds, probe_words, key_words):
@@ -133,10 +137,39 @@ def _search(W, bnds, probe_words, key_words):
     return col, unresolved
 
 
+def _tag_maybes(W, C, col, tags, probe_words, key_ix):
+    """Per-window bloom-tag pre-check (VERDICT r3 item 6, measured A/B).
+
+    tags[w] is a (1, 1, 128) row of u32 words, each the OR of the 32-bin
+    tag bits (top 5 hash bits) of that lane-column's C keys (range_table
+    `build_range_table(with_tags=True)`).  A probe whose tag bit is absent
+    from its column's word cannot match there — no false negatives — so a
+    window row where NO active probe passes can skip its C-row scan
+    entirely (tile-consensus skip, the only skip a lockstep vector unit
+    can take).  Reference bloom placement: hash_join.cpp:165,183-189.
+    """
+    from flash_hash_join_tpu.ops.hashing import hash_u64
+
+    shape = probe_words[0].shape
+    if len(key_ix) == 1:        # narrow: hash not carried — recompute
+        h = hash_u64(jnp.zeros(shape, jnp.uint32), probe_words[0])
+    else:                       # wide: word 0 IS the hash
+        h = probe_words[0]
+    bit = jnp.uint32(1) << (h >> jnp.uint32(27))
+    maybes = []
+    for w in range(W):
+        lane = col - w * LANES
+        active = (lane >= 0) & (lane < LANES)
+        lane_c = jnp.clip(lane, 0, LANES - 1)
+        tw = _gather_lanes(jnp.broadcast_to(tags[w][:][0], shape), lane_c)
+        maybes.append(((tw & bit) != 0) & active)
+    return maybes
+
+
 SCAN_UNROLL = 8  # slot-rows per fori step — see _scan_hits
 
 
-def _scan_hits(W, C, col, tks, tvs, key_words):
+def _scan_hits(W, C, col, tks, tvs, key_words, maybes=None):
     """Scan the window's W*C slot-rows; returns (hit[, vh, vl]).
 
     w stays a python loop (it indexes distinct window refs); c runs as a
@@ -187,7 +220,18 @@ def _scan_hits(W, C, col, tks, tvs, key_words):
                 hit, vs = step(hit, list(vs), b * unroll + j)
             return (hit, *vs)
 
-        out = jax.lax.fori_loop(0, C // unroll, body, (hit, *vs))
+        def run_scan(hit=hit, vs=vs, body=body):
+            return jax.lax.fori_loop(0, C // unroll, body, (hit, *vs))
+
+        if maybes is None:
+            out = run_scan()
+        else:
+            # tile-consensus skip: when NO active probe's tag bit is
+            # present in its column word, this window row cannot produce
+            # a hit — skip all C slot-rows (bloom has no false negatives)
+            any_maybe = jnp.sum(maybes[w].astype(jnp.int32)) > 0
+            out = jax.lax.cond(any_maybe, run_scan,
+                               lambda hit=hit, vs=vs: (hit, *vs))
         hit, vs = out[0], list(out[1:])
     hit = hit.astype(jnp.bool_)
     if not n_values:
@@ -205,27 +249,34 @@ def _stat_tile(a, b):
                      jnp.where((r_ == 0) & (c_ == 1), b, 0))
 
 
-def _count_kernel(W, C, n_words, key_ix, wstart_ref, *refs):
-    bnds, tks, _, probes, rest = _layout(refs, W, n_words, len(key_ix),
-                                         n_values=0)
+def _count_kernel(W, C, n_words, key_ix, use_tags, wstart_ref, *refs):
+    bnds, tks, _, tags, probes, rest = _layout(refs, W, n_words,
+                                               len(key_ix), n_values=0,
+                                               use_tags=use_tags)
     (out_ref,) = rest
     probe_words = tuple(p[:] for p in probes)
     key_words = tuple(probe_words[i] for i in key_ix)
     col, unresolved = _search(W, bnds, probe_words, key_words)
-    hit, _, _ = _scan_hits(W, C, col, tks, None, key_words)
+    maybes = (_tag_maybes(W, C, col, tags, probe_words, key_ix)
+              if use_tags else None)
+    hit, _, _ = _scan_hits(W, C, col, tks, None, key_words, maybes)
     out_ref[:] = _stat_tile(jnp.sum(hit.astype(jnp.int32)),
                             jnp.sum(unresolved.astype(jnp.int32)))
 
 
-def _materialize_kernel(W, C, n_words, key_ix, n_values, wstart_ref,
-                        *refs):
-    bnds, tks, tvs, probes, rest = _layout(refs, W, n_words, len(key_ix),
-                                           n_values=n_values)
+def _materialize_kernel(W, C, n_words, key_ix, n_values, use_tags,
+                        wstart_ref, *refs):
+    bnds, tks, tvs, tags, probes, rest = _layout(refs, W, n_words,
+                                                 len(key_ix),
+                                                 n_values=n_values,
+                                                 use_tags=use_tags)
     hit_ref, vh_ref, vl_ref, unres_ref = rest
     probe_words = tuple(p[:] for p in probes)
     key_words = tuple(probe_words[i] for i in key_ix)
     col, unresolved = _search(W, bnds, probe_words, key_words)
-    hit, vh, vl = _scan_hits(W, C, col, tks, tvs, key_words)
+    maybes = (_tag_maybes(W, C, col, tags, probe_words, key_ix)
+              if use_tags else None)
+    hit, vh, vl = _scan_hits(W, C, col, tks, tvs, key_words, maybes)
     hit_ref[:] = hit.astype(jnp.uint32)
     vh_ref[:] = vh
     vl_ref[:] = vl
@@ -233,7 +284,7 @@ def _materialize_kernel(W, C, n_words, key_ix, n_values, wstart_ref,
                               jnp.int32(0))
 
 
-def _in_specs(W, C, TM, n_words, n_keys, n_values):
+def _in_specs(W, C, TM, n_words, n_keys, n_values, use_tags=False):
     def bnd_spec(w):
         # boundary arrays are (S+1, 1, 128); block (1, 1, 128) satisfies
         # Mosaic's trailing-dims rule (middle dim equals the array's).
@@ -253,11 +304,13 @@ def _in_specs(W, C, TM, n_words, n_keys, n_values):
         specs += [bnd_spec(w) for w in range(W + 1)]
     for _ in range(n_keys + n_values):
         specs += [tab_spec(w) for w in range(W)]
+    if use_tags:
+        specs += [bnd_spec(w) for w in range(W)]  # tags: (S, 1, 128)
     specs += [probe_spec] * n_words
     return specs
 
 
-def _operands(bnds, tks, tvs, probes, W):
+def _operands(bnds, tks, tvs, probes, W, tags=None):
     ops = []
     for b in bnds:
         ops += [b] * (W + 1)
@@ -265,6 +318,8 @@ def _operands(bnds, tks, tvs, probes, W):
         ops += [t] * W
     for t in tvs or ():
         ops += [t] * W
+    if tags is not None:
+        ops += [tags] * W
     ops += list(probes)
     return ops
 
@@ -275,31 +330,35 @@ def _operands(bnds, tks, tvs, probes, W):
 def range_probe_count(bnds, tks, probes, wstart, *,
                       W: int, C: int = DEFAULT_C,
                       tile_m: int = DEFAULT_TILE_M,
-                      layout=WIDE, interpret: bool = False):
+                      layout=WIDE, interpret: bool = False,
+                      tags=None):
     """Count matches of sorted probe tiles against the range table.
 
     bnds: tuple of (S+1, 1, 128) boundary word arrays (one per order word,
     row S = MAX sentinel); tks: tuple of (S, C, 128) table key planes;
     probes: tuple of (ntiles*tile_m, 128) sorted probe word planes;
     wstart: (ntiles,) int32 window start per tile, pre-clipped to [0, S-W].
+    tags: optional (S, 1, 128) bloom-tag plane (see _tag_maybes).
     Returns (count, n_unresolved) int32 scalars.
     """
     n_words, key_ix = layout
+    use_tags = tags is not None
     TM = tile_m
     ntiles = probes[0].shape[0] // TM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
-        in_specs=_in_specs(W, C, TM, n_words, len(key_ix), n_values=0),
+        in_specs=_in_specs(W, C, TM, n_words, len(key_ix), n_values=0,
+                           use_tags=use_tags),
         out_specs=pl.BlockSpec((8, LANES), lambda t, ws: (t, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_count_kernel, W, C, n_words, key_ix),
+        functools.partial(_count_kernel, W, C, n_words, key_ix, use_tags),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles * 8, LANES), jnp.int32),
         interpret=interpret,
-    )(wstart, *_operands(bnds, tks, None, probes, W))
+    )(wstart, *_operands(bnds, tks, None, probes, W, tags))
     return jnp.sum(out[::8, 0]), jnp.sum(out[::8, 1])
 
 
@@ -309,12 +368,14 @@ def range_probe_count(bnds, tks, probes, wstart, *,
 def range_probe_materialize(bnds, tks, tvs, probes, wstart, *,
                             W: int, C: int = DEFAULT_C,
                             tile_m: int = DEFAULT_TILE_M,
-                            layout=WIDE, interpret: bool = False):
+                            layout=WIDE, interpret: bool = False,
+                            tags=None):
     """Materializing variant: (hit, vh, vl, n_unresolved); hit/vh/vl are
     shaped like the probe blocks (probe-sorted order).  tvs holds 1 value
     plane (narrow values: hi is identically zero) or 2."""
     n_words, key_ix = layout
     n_values = len(tvs)
+    use_tags = tags is not None
     TM = tile_m
     ntiles = probes[0].shape[0] // TM
     probe_out = pl.BlockSpec((TM, LANES), lambda t, ws: (t, 0),
@@ -323,7 +384,7 @@ def range_probe_materialize(bnds, tks, tvs, probes, wstart, *,
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=_in_specs(W, C, TM, n_words, len(key_ix),
-                           n_values=n_values),
+                           n_values=n_values, use_tags=use_tags),
         out_specs=(probe_out, probe_out, probe_out,
                    pl.BlockSpec((8, LANES), lambda t, ws: (t, 0),
                                 memory_space=pltpu.VMEM)),
@@ -331,10 +392,10 @@ def range_probe_materialize(bnds, tks, tvs, probes, wstart, *,
     shape = jax.ShapeDtypeStruct(probes[0].shape, jnp.uint32)
     hit, vh, vl, unres = pl.pallas_call(
         functools.partial(_materialize_kernel, W, C, n_words, key_ix,
-                          n_values),
+                          n_values, use_tags),
         grid_spec=grid_spec,
         out_shape=(shape, shape, shape,
                    jax.ShapeDtypeStruct((ntiles * 8, LANES), jnp.int32)),
         interpret=interpret,
-    )(wstart, *_operands(bnds, tks, tvs, probes, W))
+    )(wstart, *_operands(bnds, tks, tvs, probes, W, tags))
     return hit, vh, vl, jnp.sum(unres[::8, 0])

@@ -40,15 +40,18 @@ ops/hash_table.py.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from flash_hash_join_tpu.ops.hashing import hash_u64
 from flash_hash_join_tpu.ops.pallas import range_probe as rp
 
-EMPTY32 = jnp.uint32(0xFFFFFFFF)
+EMPTY32 = np.uint32(0xFFFFFFFF)  # numpy: importing this module must not init the XLA backend
+#           (jax.distributed.initialize ordering, scripts/multihost_worker.py)
 LANES = 128
 
 
@@ -167,6 +170,9 @@ class RangeTable(NamedTuple):
     tvs: tuple | None
     bnds: tuple
     special: jnp.ndarray
+    # optional (S, 1, 128) bloom-tag plane: per lane-column OR of the 32-bin
+    # tag bits (top 5 hash bits) of its C keys — rp._tag_maybes
+    tags: jnp.ndarray | None = None
 
 
 def _special_channel(kh, kl, vh, vl, row_valid, narrow):
@@ -185,7 +191,7 @@ def _special_channel(kh, kl, vh, vl, row_valid, narrow):
 def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
                       with_values: bool, order: str = "hash",
                       narrow_values: bool = False,
-                      valid_mask=None) -> RangeTable:
+                      valid_mask=None, with_tags: bool = False) -> RangeTable:
     """Sort build rows by the order words and reshape into the range table.
 
     Zero scatters: sort -> pad -> reshape -> transpose; boundaries are
@@ -208,7 +214,7 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
     vh = vh.astype(jnp.uint32)
     vl = vl.astype(jnp.uint32)
 
-    _, has_max, max_vh, max_vl = _special_channel(
+    is_max, has_max, max_vh, max_vl = _special_channel(
         kh, kl, vh, vl, row_valid, narrow)
 
     S = n_super_rows(n, C)
@@ -242,10 +248,16 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
         # than a stable sort, which internally adds a tiebreak column.
         # The reference's winner is a data race (hash_join.cpp:147), so
         # any fixed rule satisfies parity.
-        sorted_cols = jax.lax.sort(tuple(cols), num_keys=nk + nv,
-                                   is_stable=False)
-    else:
-        sorted_cols = jax.lax.sort(tuple(cols), num_keys=nk, is_stable=False)
+    if with_tags:
+        # bloom-tag payload: tag = f(key), so tie permutations among equal
+        # keys cannot change it — dedup-winner determinism is unaffected
+        htag = hash_u64(kh, kl)
+        tag = jnp.where(row_valid & ~is_max,
+                        jnp.uint32(1) << (htag >> jnp.uint32(27)),
+                        jnp.uint32(0))
+        cols += [padded(tag, 0)]
+    sorted_cols = jax.lax.sort(tuple(cols), num_keys=nk + nv,
+                               is_stable=False)
 
     def to_table(x):
         return x.reshape(S, LANES, C).transpose(0, 2, 1)
@@ -269,9 +281,17 @@ def build_range_table(kh, kl, vh, vl, n_valid, *, C: int = rp.DEFAULT_C,
     if with_values:
         tvs = tuple(to_table(sorted_cols[nk + i]) for i in range(nv))
 
+    tags_plane = None
+    if with_tags:
+        t3 = sorted_cols[-1].reshape(S, LANES, C)
+        tor = t3[:, :, 0]
+        for ci in range(1, C):
+            tor = tor | t3[:, :, ci]
+        tags_plane = tor.reshape(S, 1, LANES)
+
     special = jnp.stack([has_max.astype(jnp.uint32), max_vh, max_vl,
                          jnp.uint32(0)])
-    return RangeTable(tks, tvs, bnds, special)
+    return RangeTable(tks, tvs, bnds, special, tags_plane)
 
 
 def _prep_probe(table: RangeTable, ph, pl, n_valid, *, W: int, C: int,
@@ -393,6 +413,28 @@ def _probe_parts(table, ph, pl, np_valid, *, S, W, C, tile_m, order,
     return parts
 
 
+def normalized_w_mult(n_build: int, n_probe: int, w_mult: int,
+                      full_valid: bool = True, C: int | None = None,
+                      tile_m: int = rp.DEFAULT_TILE_M) -> int:
+    """Smallest w_mult that compiles the same window as `w_mult`.
+
+    When min(base*w_mult, S, MAX_W) == min(base, S, MAX_W) the widened
+    retry rung is the identical program under a different cache key —
+    normalizing lets the compile cache reuse it and the api retry ladder
+    skip the rung entirely (round-3 advisor finding)."""
+    if w_mult == 1 or C is None and small_mode(n_build, default_C(n_build)):
+        return 1  # small mode: W = S regardless of w_mult
+    if C is None:
+        C = default_C(n_build)
+    tm = default_tile_m(small_mode(n_build, C), tile_m)
+    blockwise = blockwise_ok(n_build, n_probe, C, tm, full_valid)
+    S = n_super_rows(n_build, C)
+    base = (blockwise_window(S, tm) if blockwise
+            else plan_window(n_build, n_probe, C=C, tile_m=tm))
+    return 1 if min(base * w_mult, S, MAX_W) == min(base, S, MAX_W) \
+        else w_mult
+
+
 _LAYOUTS = {"hash": rp.WIDE, "key": rp.KEYORDER, "narrow": rp.NARROW}
 
 
@@ -426,8 +468,12 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                 else plan_window(kh.shape[0], ph.shape[0], C=C,
                                  tile_m=tile_m))
         W = min(base * w_mult, S, MAX_W)
+    # FHJ_RANGE_BLOOM=1 (trace-time): bloom-tag plane + tile-consensus
+    # scan skip inside the kernel — the measured A/B of VERDICT r3 item 6
+    with_tags = os.environ.get("FHJ_RANGE_BLOOM", "0") == "1"
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
-                              with_values=False, order=order)
+                              with_values=False, order=order,
+                              with_tags=with_tags)
     count = jnp.int32(0)
     unresolved = jnp.int32(0)
     sp_count = jnp.int32(0)
@@ -436,7 +482,8 @@ def range_join_count(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
             order=order, small=small, blockwise=blockwise):
         c, u = rp.range_probe_count(
             table.bnds, table.tks, planes, wstart, W=Wp, C=C,
-            tile_m=tile_m, layout=_LAYOUTS[order], interpret=interpret)
+            tile_m=tile_m, layout=_LAYOUTS[order], interpret=interpret,
+            tags=table.tags)
         count += c.astype(jnp.int32)
         unresolved += u.astype(jnp.int32)
         sp_count += spc
@@ -549,9 +596,11 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         base = (blockwise_window(S, tile_m) if blockwise
                 else plan_window(kh.shape[0], n, C=C, tile_m=tile_m))
         W = min(base * w_mult, S, MAX_W)
+    with_tags = os.environ.get("FHJ_RANGE_BLOOM", "0") == "1"
     table = build_range_table(kh, kl, vh, vl, nb_valid, C=C,
                               with_values=True, order=order,
-                              narrow_values=narrow_values)
+                              narrow_values=narrow_values,
+                              with_tags=with_tags)
     hits, vhs, vls, plane_parts, unresolved = [], [], [], [], jnp.int32(0)
     for planes, wstart, _spc, Wp in _probe_parts(
             table, ph, pl, np_valid, S=S, W=W, C=C, tile_m=tile_m,
@@ -559,7 +608,7 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
         hit_b, vh_b, vl_b, u = rp.range_probe_materialize(
             table.bnds, table.tks, table.tvs, planes, wstart,
             W=Wp, C=C, tile_m=tile_m, layout=_LAYOUTS[order],
-            interpret=interpret)
+            interpret=interpret, tags=table.tags)
         hits.append(hit_b.reshape(-1))
         vhs.append(vh_b.reshape(-1))
         vls.append(vl_b.reshape(-1))
@@ -618,27 +667,29 @@ def range_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     mvl = jnp.where(sp_hit, table.special[2], mvl)
 
     from flash_hash_join_tpu.ops.pallas.stream_compact import (
-        compact_by_mask_stream)
+        compact_by_mask_fast)
     # Exact-offset stream compaction (stable: probe-plane order, which is
     # input order in small mode and (hash, key) order otherwise — both
-    # deterministic).  Replaces the 4-5-column compaction sort (~6 ns/row)
-    # with a blockwise sort + shingled-DMA concat (~2 ns/row for 4 planes).
+    # deterministic).  Round 3 replaced the 4-5-column compaction sort
+    # (~6 ns/row) with a blockwise sort + shingled-DMA concat (~2 ns/row
+    # for 4 planes); round 4's pack kernel (FHJ_COMPACT=pack default)
+    # removes the sort too — in-kernel lane pack + MXU permutation matmul.
     # Identically-zero planes (narrow keys/values) stay out entirely.
     zeros_n = lambda: jnp.zeros((n,), jnp.uint32)  # noqa: E731
     if narrow and narrow_values:
-        count, (out_l, out_vl) = compact_by_mask_stream(
+        count, (out_l, out_vl) = compact_by_mask_fast(
             hit, (pks_l, mvl), n_out=n, interpret=interpret)
         out_h, out_vh = zeros_n(), zeros_n()
     elif narrow:
-        count, (out_l, out_vh, out_vl) = compact_by_mask_stream(
+        count, (out_l, out_vh, out_vl) = compact_by_mask_fast(
             hit, (pks_l, mvh, mvl), n_out=n, interpret=interpret)
         out_h = zeros_n()
     elif narrow_values:
-        count, (out_h, out_l, out_vl) = compact_by_mask_stream(
+        count, (out_h, out_l, out_vl) = compact_by_mask_fast(
             hit, (pks_h, pks_l, mvl), n_out=n, interpret=interpret)
         out_vh = zeros_n()
     else:
-        count, (out_h, out_l, out_vh, out_vl) = compact_by_mask_stream(
+        count, (out_h, out_l, out_vh, out_vl) = compact_by_mask_fast(
             hit, (pks_h, pks_l, mvh, mvl), n_out=n, interpret=interpret)
     special = table.special.at[3].set(unresolved.astype(jnp.uint32))
     return count, out_h, out_l, out_vh, out_vl, special
