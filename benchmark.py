@@ -224,8 +224,12 @@ def plot_results(results, task: str, outfile: str):
         ax.bar_label(bars, fmt="%.3f", fontsize=6, rotation=90, padding=2)
     ax.set_xticks([i + 0.4 for i in range(len(cases))])
     ax.set_xticklabels(cases, fontsize=8)
-    ax.set_ylabel("core seconds (device execution)")
-    ax.set_title(f"flash_hash_join_tpu — {task}")
+    any_device = any(r.get("device") for r in rows)
+    ax.set_ylabel("steady-state device seconds (chained-delta, best-of-N)"
+                  if any_device else "core seconds (device execution)")
+    ax.set_title(f"flash_hash_join_tpu — {task}"
+                 + (" — TPU bars: dispatch overhead subtracted"
+                    if any_device else ""), fontsize=10)
     ax.legend(fontsize=7)
     fig.tight_layout()
     fig.savefig(outfile, dpi=120)

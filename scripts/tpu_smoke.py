@@ -18,13 +18,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    import signal
+
     import jax
 
+    # A downed axon tunnel makes jax.devices() HANG rather than raise;
+    # bound discovery so the caller sees a clean "no TPU" skip instead of
+    # eating test_tpu_device.py's whole 1500 s subprocess timeout.
+    def _hung(signum, frame):
+        raise TimeoutError("device discovery timed out (tunnel down?)")
+
+    signal.signal(signal.SIGALRM, _hung)
+    signal.alarm(int(os.environ.get("FHJ_TPU_DISCOVERY_TIMEOUT", "150")))
     try:
         devs = jax.devices()
     except Exception as e:
         print(f"no TPU: {e}")
         return 3
+    finally:
+        signal.alarm(0)
     if not devs or devs[0].platform == "cpu":
         print(f"no TPU: devices={devs}")
         return 3
