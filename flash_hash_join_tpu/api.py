@@ -83,6 +83,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         return 0, 0.0
 
     eng = default_engine()
+    requested = strategy
     # The feasibility plan models the partitioned tier only; explicitly
     # requested merge/global/vmem strategies bypass it (their graphs have
     # different footprints and must not fail on partitioned accounting).
@@ -94,6 +95,29 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         probe_chunks = eng.plan(nb, npr, mode).probe_chunks
     else:
         probe_chunks = 1
+
+    # Dense-domain upgrade (count only): db-benchmark Q1/Q2 build keys are
+    # dense ints, so membership counting needs a BITMAP, not a hash table
+    # (ops/direct_bitmap.py — DuckDB's perfect-hash-join statistic, made
+    # TPU-native).  Detected host-side from the numpy inputs, outside
+    # core_seconds, like the narrow-key check below.  Only the adaptive
+    # entry upgrades — explicitly named strategies must run what was asked
+    # (benchmark.py compares them as distinct implementations).
+    d_rows = 0
+    if (mode == "count" and probe_chunks == 1
+            and requested in ("adaptive", "direct")):
+        from flash_hash_join_tpu.ops import direct_bitmap as db
+        if nb <= db.MAX_BUILD_ROWS and (requested == "direct"
+                                        or npr >= (1 << 16)):
+            bk_max = int(build_keys.max())
+            span = bk_max - int(build_keys.min()) + 1
+            if bk_max < 2**32 and span <= db.MAX_DOMAIN_BITS:
+                strategy = "direct"
+                d_rows = db.d_rows_for(span)
+    if requested == "direct" and d_rows == 0:
+        raise ValueError(
+            "direct strategy requires mode='count', build keys < 2^32 with "
+            f"domain span <= 2^20 and build rows <= 2^20 (got nb={nb})")
     if probe_chunks > 1:
         return _run_chunked(build_keys, build_values, probe_keys, mode=mode,
                             strategy=strategy, use_bloom=use_bloom,
@@ -132,7 +156,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
                            order=orders[0][0] or "hash",
                            w_mult=orders[0][1],
                            narrow_values=narrow_values,
-                           full_valid=full_valid)
+                           full_valid=full_valid, d_rows=d_rows)
 
     kh, kl = u64.split_u64(build_keys)
     vh, vl = u64.split_u64(build_values)
@@ -196,7 +220,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
             strategy=strategy, order=cur_order, w_mult=cur_wm,
             narrow_values=narrow_values, probe_chunks=1,
             use_bloom=use_bloom, compiled=compiled, args=args,
-            nb=nb, npr=npr)
+            nb=nb, npr=npr, d_rows=d_rows if strategy == "direct" else 0)
     if mode == "count":
         return int(out[0]), core_seconds
     count = int(out[0])
@@ -489,7 +513,7 @@ def measure_device_seconds(build_keys, build_values, probe_keys, *,
     chained = eng.prepare_chained(
         info["nb"], info["npr"], mode, info["strategy"], info["use_bloom"],
         reps, order=info["order"], narrow_values=info["narrow_values"],
-        w_mult=info["w_mult"])
+        w_mult=info["w_mult"], d_rows=info.get("d_rows", 0))
     plain, args = info["compiled"], info["args"]
 
     def best(fn, block_all):

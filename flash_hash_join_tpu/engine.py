@@ -98,12 +98,25 @@ def vmem_materialize_graph(*args, r_slots, interpret):
                                       interpret=interpret)
 
 
+def direct_count_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
+                       d_rows, interpret):
+    from flash_hash_join_tpu.ops import direct_bitmap as db
+    return db.direct_join_count(kh, kl, ph, pl, nb_valid, np_valid,
+                                d_rows=d_rows, interpret=interpret)
+
+
 def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
-              w_mult: int = 1, full_valid: bool = True):
+              w_mult: int = 1, full_valid: bool = True, d_rows: int = 0):
     """The uncompiled join graph for a shape/config signature."""
-    if strategy == "merge":
+    if strategy == "direct":
+        # count-only dense-domain bitmap (ops/direct_bitmap.py); api.py
+        # guarantees mode == "count" and a d_rows rung sized to the span
+        interpret = jax.default_backend() == "cpu"
+        fn = functools.partial(direct_count_graph, d_rows=d_rows,
+                               interpret=interpret)
+    elif strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
     elif strategy == "vmem":
         interpret = jax.default_backend() == "cpu"
@@ -158,10 +171,11 @@ def _aot(fn, n_build: int, n_probe: int):
 def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
-              w_mult: int = 1, full_valid: bool = True):
+              w_mult: int = 1, full_valid: bool = True, d_rows: int = 0):
     """AOT-compile the join graph for a shape/config signature."""
     return _aot(_graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg,
-                          gbits, order, narrow_values, w_mult, full_valid),
+                          gbits, order, narrow_values, w_mult, full_valid,
+                          d_rows),
                 n_build, n_probe)
 
 
@@ -169,7 +183,7 @@ def _compiled(n_build: int, n_probe: int, mode: str, strategy: str,
 def _compiled_chained(n_build: int, n_probe: int, mode: str, strategy: str,
                       use_bloom: bool, cfg: JoinConfig, gbits: int,
                       order: str, narrow_values: bool, w_mult: int,
-                      reps: int):
+                      reps: int, d_rows: int = 0):
     """`reps` joins chained inside one scan, each on key-remixed inputs.
 
     Used for steady-state device timing: per-join device seconds =
@@ -188,11 +202,23 @@ def _compiled_chained(n_build: int, n_probe: int, mode: str, strategy: str,
     XLA cannot prune the output-writing work.
     """
     fn = _graph_fn(n_build, n_probe, mode, strategy, use_bloom, cfg, gbits,
-                   order, narrow_values, w_mult)
+                   order, narrow_values, w_mult, True, d_rows)
 
     def chained(kh, kl, vh, vl, ph, pl, nb, npv):
         def step(carry, i):
             r = (i + jnp.uint32(1)) * jnp.uint32(0x9E3779B1)
+            if strategy == "direct":
+                # the bitmap graph needs the remix to preserve the dense
+                # lo-relative domain: a 30-bit shift (no hi carry for keys
+                # < 3*2^30) keeps the span intact; if a key DOES wrap, the
+                # graph's span check raises special[3] and the caller
+                # falls back to single-call timing
+                r = r & jnp.uint32(0x3FFFFFFF)
+                out = fn(kh, kl + r, vh, vl, ph, pl + r, nb, npv)
+                cnt = out[0].astype(jnp.int32)
+                spec = out[-1][3].astype(jnp.int32)
+                c_acc, s_acc, f_acc = carry
+                return (c_acc + cnt, s_acc + spec, f_acc), None
             lo_b = kl + r
             hi_b = kh + (lo_b < kl).astype(jnp.uint32)
             lo_p = pl + r
@@ -228,10 +254,11 @@ class JoinEngine:
 
     def prepare(self, n_build, n_probe, mode, strategy, use_bloom,
                 gbits=None, order="hash", narrow_values=False, w_mult=1,
-                full_valid=True):
+                full_valid=True, d_rows=0):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         full_valid = full_valid or strategy != "partitioned"
+        d_rows = d_rows if strategy == "direct" else 0
         if strategy == "partitioned":
             # a widened window capped back to the base window is the same
             # program — normalize so the cache reuses the base compile
@@ -246,21 +273,22 @@ class JoinEngine:
             # program instead of paying a second minutes-long AOT compile
             use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
-            w_mult, full_valid,
+            w_mult, full_valid, d_rows,
         )
 
     def prepare_chained(self, n_build, n_probe, mode, strategy, use_bloom,
                         reps, gbits=None, order="hash", narrow_values=False,
-                        w_mult=1):
+                        w_mult=1, d_rows=0):
         if gbits is None:
             gbits = self.cfg.group_bits(n_build)
         w_mult = (rt.normalized_w_mult(n_build, n_probe, w_mult)
                   if strategy == "partitioned" else 1)
+        d_rows = d_rows if strategy == "direct" else 0
         return _compiled_chained(
             n_build, n_probe, mode, strategy,
             use_bloom and strategy == "global", self.cfg, gbits,
             order, narrow_values and mode == "materialize",
-            w_mult, reps)
+            w_mult, reps, d_rows)
 
     def run(self, compiled, device_args):
         out = compiled(*device_args)

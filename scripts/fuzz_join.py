@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # compiler; distributions/seeds/values still vary per iteration.
 FIXED_SHAPES = [(7, 100_000), (1_000, 5_000), (30_000, 60_000),
                 (50_000, 50_000), (65_536, 131_072), (200_000, 400_000),
-                (40_000, 262_144)]  # last: BLOCKWISE probe mode band
+                (40_000, 262_144),   # BLOCKWISE probe mode band
+                (16_385, 262_144),   # blockwise lower edge (just past SMALL)
+                (63_488, 133_000),   # blockwise S=62 cap + 1928-row ragged tail
+                (40_000, 131_073)]   # 1-row ragged tail past 2 full blocks
 
 
 def gen_case(rng, fixed_shapes=False):
@@ -86,6 +89,11 @@ def main():
     ap.add_argument("--fixed-shapes", action="store_true",
                     help="draw shapes from FIXED_SHAPES (compile reuse; "
                          "use for on-TPU fuzzing)")
+    ap.add_argument("--chunked", action="store_true",
+                    help="force host-side probe-chunk streaming (2-4 "
+                         "chunks, overlap + serial alternating) on every "
+                         "adaptive/partitioned iteration — exercises the "
+                         "padded-tail + concat paths of api._run_chunked")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -95,7 +103,24 @@ def main():
     import flash_hash_join_tpu as fj
     from flash_hash_join_tpu.utils.native import host_join_materialize
 
-    strategies = ["adaptive", "partitioned", "merge", "global", "vmem"]
+    if args.chunked:
+        import dataclasses
+
+        from flash_hash_join_tpu.engine import JoinEngine
+
+        real_plan = JoinEngine.plan
+        state = {"chunks": 2}
+
+        def chunked_plan(self, nb, npr, mode="count"):
+            p = real_plan(self, nb, npr, mode)
+            if npr >= 4_096 and p.probe_chunks == 1:
+                p = dataclasses.replace(p, probe_chunks=state["chunks"])
+            return p
+
+        JoinEngine.plan = chunked_plan
+
+    strategies = ["adaptive", "partitioned", "merge", "global", "vmem",
+                  "direct"]
     t0 = time.time()
     fails = 0
     for it in range(args.iters):
@@ -109,17 +134,27 @@ def main():
         strat = strategies[it % len(strategies)]
         if strat == "vmem" and (len(bk) > 40_000 or len(pk) < 2 * len(bk)):
             strat = "merge"
+        if strat == "direct" and not (
+                int(bk.max()) < 2**32
+                and int(bk.max()) - int(bk.min()) < 2**20):
+            strat = "merge"
+        if args.chunked:
+            # alternate chunk counts and overlap/serial across iterations;
+            # keep shapes' chunk GEOMETRY stable for compile reuse on TPU
+            state["chunks"] = 2 + (it % 3)
+            os.environ["FHJ_CHUNK_OVERLAP"] = "01"[it % 2]
         try:
             c, _ = fj.join_count(bk, bv, pk, strategy=strat)
             assert c == want, f"count {c} != {want}"
-            c2, _, keys, vals = fj.join_materialize(
-                bk, bv, pk, strategy=strat, return_arrays=True)
-            assert c2 == want, f"mat count {c2} != {want}"
-            assert collections.Counter(keys.tolist()) == want_keys, \
-                "key multiset"
-            bad = [p for p in zip(keys.tolist(), vals.tolist())
-                   if p not in pairs]
-            assert not bad, f"bad pairs {bad[:3]}"
+            if strat != "direct":   # direct is count-only
+                c2, _, keys, vals = fj.join_materialize(
+                    bk, bv, pk, strategy=strat, return_arrays=True)
+                assert c2 == want, f"mat count {c2} != {want}"
+                assert collections.Counter(keys.tolist()) == want_keys, \
+                    "key multiset"
+                bad = [p for p in zip(keys.tolist(), vals.tolist())
+                       if p not in pairs]
+                assert not bad, f"bad pairs {bad[:3]}"
         except Exception as e:
             fails += 1
             print(f"FAIL seed={seed} dist={dist} strat={strat} "
