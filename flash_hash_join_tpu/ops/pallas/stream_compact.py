@@ -297,14 +297,17 @@ def _pack_kernel(V, BM, interpret, counts_ref, *refs):
         #                  row r's hi begins (same staging row)
         outv = jnp.zeros((BM + 8, LANES), jnp.uint32)
         for kk in range(4):
+            # Mosaic lacks u32<->f32 casts; u8 subplanes fit i32 exactly,
+            # so route both directions through i32.
             sub = ((Cp >> jnp.uint32(8 * kk)) & jnp.uint32(0xFF)) \
-                .astype(jnp.float32).astype(jnp.bfloat16)
+                .astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
             acc = None
             for g in range(G):
                 d = jnp.dot(Pg[g], sub[g * LANES : (g + 1) * LANES, :],
                             preferred_element_type=jnp.float32)
                 acc = d if acc is None else acc + d
-            outv = outv | (acc.astype(jnp.uint32) << jnp.uint32(8 * kk))
+            outv = outv | (acc.astype(jnp.int32).astype(jnp.uint32)
+                           << jnp.uint32(8 * kk))
 
         row0 = jnp.where(lane[0:1] < s0, carry[v, 0:1, :], outv[0:1])
         staging[v, 0:1, :] = row0
