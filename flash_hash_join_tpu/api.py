@@ -104,20 +104,29 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     # entry upgrades — explicitly named strategies must run what was asked
     # (benchmark.py compares them as distinct implementations).
     d_rows = 0
-    if (mode == "count" and probe_chunks == 1
+    if (mode == "count" and probe_chunks == 1 and nb > 0
             and requested in ("adaptive", "direct")):
         from flash_hash_join_tpu.ops import direct_bitmap as db
-        if nb <= db.MAX_BUILD_ROWS and (requested == "direct"
-                                        or npr >= (1 << 16)):
+        if requested == "direct" or npr >= (1 << 16):
             bk_max = int(build_keys.max())
             span = bk_max - int(build_keys.min()) + 1
-            if bk_max < 2**32 and span <= db.MAX_DOMAIN_BITS:
-                strategy = "direct"
-                d_rows = db.d_rows_for(span)
+            if bk_max < 2**32:
+                if nb <= db.MAX_BUILD_ROWS and span <= db.MAX_DOMAIN_BITS:
+                    # scan kernel: no sort at all (<= 256 bitmap rows)
+                    strategy = "direct"
+                    d_rows = db.d_rows_for(span)
+                elif (span <= db.MAX_LARGE_DOMAIN_BITS
+                      and db.large_span_ok(span, nb, npr)
+                      and (nb >= db.MIN_LARGE_BUILD_ROWS
+                           or requested == "direct")):
+                    # blockwise-sorted dense_bitmap kernel (VMEM-sized
+                    # domains up to 2^26 slots — the Q5 flagship shape)
+                    strategy = "direct"
+                    d_rows = db.d_rows_for(span)
     if requested == "direct" and d_rows == 0:
         raise ValueError(
             "direct strategy requires mode='count', build keys < 2^32 with "
-            f"domain span <= 2^20 and build rows <= 2^20 (got nb={nb})")
+            f"domain span <= 2^26 (got nb={nb})")
     if probe_chunks > 1:
         return _run_chunked(build_keys, build_values, probe_keys, mode=mode,
                             strategy=strategy, use_bloom=use_bloom,

@@ -34,16 +34,29 @@ from flash_hash_join_tpu.ops.pallas import bitmap_probe as bp
 LANES = 128
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
-# Domain cap: 2^20 slots = 256 bitmap rows = 64 KB VMEM; the row scan at
-# the cap costs ~0.75 cycles/probe — above it the blockwise sort+window
-# path wins again.  Covers J1 Q1/Q2 up to the 1e9 suite (domain 1.1M is
-# just over; 1e8's 110K is 27 rows).
+# Domain cap for the SCAN path: 2^20 slots = 256 bitmap rows = 64 KB
+# VMEM; the row scan at the cap costs ~0.75 cycles/probe — above it the
+# blockwise-sorted windowed path (ops/pallas/dense_bitmap.py) takes over.
 MAX_DOMAIN_BITS = bp.MAX_D_ROWS * bp.BITS_PER_ROW   # 2^20
 MAX_BUILD_ROWS = 1 << 20
 
+# Domain cap for the LARGE path: the bitmap must fit VMEM next to the
+# streaming input tiles — 16384 rows = 2^26 slots = 8 MB.  Covers the
+# 4e7 flagship's 4.4e7-slot universe; 1e8's 1.1e8 falls back to the
+# sort route until a domain-chunked 2-pass lands.
+MAX_LARGE_D_ROWS = 16384
+MAX_LARGE_DOMAIN_BITS = MAX_LARGE_D_ROWS * bp.BITS_PER_ROW  # 2^26
+# Below this build size the small-build strategies (vmem/range small
+# mode) are already fast and the large path's fixed sort-block padding
+# dominates; api.py only routes large when nb is at least this.
+MIN_LARGE_BUILD_ROWS = 1 << 16
+
 
 def d_rows_for(span: int) -> int:
-    """Compile rung: bitmap rows for a key span, pow2 so shapes cache."""
+    """Compile rung: bitmap rows for a key span, pow2 so shapes cache.
+
+    Rungs <= bp.MAX_D_ROWS (256) run the scan kernel; larger rungs run
+    the blockwise-sorted dense_bitmap kernel (up to MAX_LARGE_D_ROWS)."""
     need = -(-max(span, 1) // bp.BITS_PER_ROW)
     r = 8
     while r < need:
@@ -57,13 +70,17 @@ def direct_join_count(kh, kl, ph, pl, nb_valid, np_valid, *, d_rows: int,
 
     kh/kl, ph/pl: u32 hi/lo key planes (utils/u64.py SoA convention).
     special[3] = build rows outside the declared domain (caller must
-    fall back when nonzero).
+    fall back when nonzero).  Dispatches on the d_rows rung: scan kernel
+    up to bp.MAX_D_ROWS, blockwise-sorted dense_bitmap kernel above.
     """
+    if d_rows > bp.MAX_D_ROWS:
+        return direct_join_count_large(kh, kl, ph, pl, nb_valid, np_valid,
+                                       d_rows=d_rows, interpret=interpret)
     n = kh.shape[0]
     d_bits = d_rows * bp.BITS_PER_ROW
 
     bvalid = jnp.arange(n, dtype=jnp.int32) < nb_valid
-    lo = jnp.min(jnp.where(bvalid, kl, SENTINEL))
+    lo = jnp.min(jnp.where(bvalid, kl, SENTINEL), initial=SENTINEL)
     diff = kl - lo                       # u32; keys < lo wrap to huge
     bad = bvalid & ((kh != 0) | (diff >= d_bits))
     n_bad = jnp.sum(bad).astype(jnp.uint32)
@@ -94,3 +111,90 @@ def direct_join_count(kh, kl, ph, pl, nb_valid, np_valid, *, d_rows: int,
     zero = jnp.uint32(0)
     special = jnp.stack([zero, zero, zero, n_bad])
     return count.astype(jnp.int32), special
+
+
+def _blockwise_sorted_idx(idx, sort_block: int):
+    """Pad with the sentinel to a sort_block multiple and sort each block
+    ascending (independent blocks — measured ~4x cheaper per row than a
+    global sort; the dense_bitmap kernel only needs tile-row locality)."""
+    n = idx.shape[0]
+    npad = -(-max(n, 1) // sort_block) * sort_block
+    if npad != n:
+        idx = jnp.concatenate(
+            [idx, jnp.full((npad - n,), SENTINEL, jnp.uint32)])
+    blocks = idx.reshape(-1, sort_block)
+    (s,) = jax.lax.sort((blocks,), num_keys=1, is_stable=False, dimension=1)
+    return s.reshape(-1, LANES)
+
+
+def large_span_ok(span: int, nb: int, npr: int, sels: int = 4) -> bool:
+    """Density gate for the large path: each side's mean tile-row span
+    (span * 128 / min(n, sort_block) slots) must fit within HALF the
+    sels-row window, so gamma-128 tail fluctuations stay ~6 sigma away
+    from an unresolved overflow (which would cost an exact-fallback
+    rerun)."""
+    sb = 1 << 20
+    half_window = (sels // 2) * bp.BITS_PER_ROW
+    return all(span * 128 <= half_window * min(max(ns, 1), sb)
+               for ns in (nb, npr))
+
+
+def direct_join_count_large(kh, kl, ph, pl, nb_valid, np_valid, *,
+                            d_rows: int, sort_block: int | None = None,
+                            block_rows: int | None = None,
+                            sels: int | None = None,
+                            interpret: bool = False):
+    """Large-span dense-domain count via ops/pallas/dense_bitmap.py.
+
+    Blockwise-sorts both sides' lo-relative domain indices, then runs the
+    fused build+probe bitmap kernel.  special[3] = build rows outside the
+    declared domain PLUS unresolved rows on either side (tile-row window
+    overflow under local key-space gaps) — the caller's retry ladder
+    falls back to the always-exact sort route when nonzero.
+    """
+    from flash_hash_join_tpu.ops.pallas import dense_bitmap as dbm
+
+    if sort_block is None:
+        # interpret mode (CPU tests) shrinks the blocks so the per-grid
+        # python emulation stays tractable; locality only loosens — the
+        # wider sels window below compensates
+        sort_block = (1 << 14) if interpret else (1 << 20)
+    if block_rows is None:
+        block_rows = 128 if interpret else 512
+    if sels is None:
+        sels = 8 if interpret else 4
+    if sort_block % (block_rows * LANES):
+        raise ValueError("sort_block must be a multiple of block_rows*128")
+
+    d_bits = d_rows * bp.BITS_PER_ROW
+    n = kh.shape[0]
+    bvalid = jnp.arange(n, dtype=jnp.int32) < nb_valid
+    ok0 = bvalid & (kh == 0)
+    lo = jnp.min(jnp.where(ok0, kl, SENTINEL), initial=SENTINEL)
+    diff = kl - lo
+    bad = bvalid & ((kh != 0) | (diff >= d_bits))
+    n_bad = jnp.sum(bad).astype(jnp.uint32)
+    bidx = jnp.where(bvalid & ~bad, diff, SENTINEL)
+
+    npr = ph.shape[0]
+    pvalid = jnp.arange(npr, dtype=jnp.int32) < np_valid
+    pdiff = pl - lo
+    pok = pvalid & (ph == 0) & (pdiff < d_bits)
+    pidx = jnp.where(pok, pdiff, SENTINEL)
+
+    bsorted = _blockwise_sorted_idx(bidx, sort_block)
+    psorted = _blockwise_sorted_idx(pidx, sort_block)
+    nbb = bsorted.shape[0] // block_rows
+    idx_all = jnp.concatenate([bsorted, psorted])
+    rs = jnp.clip((idx_all[:, 0] >> jnp.uint32(12)).astype(jnp.int32),
+                  0, d_rows - sels)
+    rs_all = rs.reshape(-1, block_rows)
+
+    count, unres_b, unres_p = dbm.fused_bitmap_join(
+        idx_all, rs_all, nbb=nbb, d_rows=d_rows, block_rows=block_rows,
+        sels=sels, interpret=interpret)
+    zero = jnp.uint32(0)
+    special = jnp.stack([
+        zero, zero, zero,
+        n_bad + unres_b.astype(jnp.uint32) + unres_p.astype(jnp.uint32)])
+    return count, special

@@ -429,15 +429,16 @@ def compact_by_mask_fast(mask, cols, n_out: int | None = None, *,
                          interpret: bool = False):
     """Dispatch to the fastest stable stream compaction.
 
-    FHJ_COMPACT=pack uses the sort-free _pack_kernel;
-    FHJ_COMPACT=stream (default until the pack kernel is device-validated)
-    keeps the round-3 blockwise-sort hybrid — the A/B lever and the
+    FHJ_COMPACT=pack (the default) uses the sort-free _pack_kernel —
+    device-validated and measured 5-6x faster than the blockwise-sort
+    hybrid (4e7, V=4: 13.5 ms vs 83.3 ms; scripts/profile_pack_kernel.py).
+    FHJ_COMPACT=stream keeps the round-3 hybrid as the A/B lever and the
     fallback if a future Mosaic regression hits the pack kernel's matmul
     path.
     """
     import os
 
-    if os.environ.get("FHJ_COMPACT", "stream") == "pack":
+    if os.environ.get("FHJ_COMPACT", "pack") == "pack":
         return compact_by_mask_pack(mask, cols, n_out, interpret=interpret)
     return compact_by_mask_stream(mask, cols, n_out, interpret=interpret)
 

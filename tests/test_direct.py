@@ -85,6 +85,24 @@ def test_adaptive_upgrades_dense_count_only():
     assert info["strategy"] != "direct"
 
 
+def test_adaptive_upgrades_large_span():
+    # Q5-flagship shape scaled down: dense keys, span > 2^20 (past the
+    # scan cap), build >= MIN_LARGE_BUILD_ROWS -> the blockwise-sorted
+    # dense_bitmap path must take it, exactly
+    rng = np.random.default_rng(6)
+    nb = db.MIN_LARGE_BUILD_ROWS
+    span = (1 << 20) + 4096
+    bk = rng.integers(0, span, nb).astype(np.uint64)
+    bv = rng.integers(1, 101, nb).astype(np.uint64)
+    pk = rng.integers(0, int(span * 1.1), 1 << 16).astype(np.uint64)
+    count, _, info = api._run_join(bk, bv, pk, mode="count",
+                                   strategy="adaptive", use_bloom=False,
+                                   return_info=True)
+    assert info["strategy"] == "direct"
+    assert info["d_rows"] > 256
+    assert count == oracle_count(bk, pk)
+
+
 def test_out_of_domain_special_channel():
     # engine-level: a rung too small for the span must COUNT the overflow
     # (the api retry ladder then reruns on merge), never miscount silently
