@@ -188,7 +188,7 @@ def direct_join_count_large(kh, kl, ph, pl, nb_valid, np_valid, *,
     idx_all = jnp.concatenate([bsorted, psorted])
     rs = jnp.clip((idx_all[:, 0] >> jnp.uint32(12)).astype(jnp.int32),
                   0, d_rows - sels)
-    rs_all = rs.reshape(-1, block_rows)
+    rs_all = rs.reshape(-1, 1, block_rows)
 
     count, unres_b, unres_p = dbm.fused_bitmap_join(
         idx_all, rs_all, nbb=nbb, d_rows=d_rows, block_rows=block_rows,

@@ -111,7 +111,7 @@ def _kernel(NBB, BM, d_rows, sels, interpret, rs_ref, idx_ref, out_ref,
                 placed = jnp.where((src > 0) & (wj == tw), vj,
                                    jnp.uint32(0))
                 for m in range(8):
-                    r = rs_ref[0, t * 8 + m] + s
+                    r = rs_ref[0, 0, t * 8 + m] + s
                     cur = bitmap[pl.ds(r, 1), :]
                     bitmap[pl.ds(r, 1), :] = cur | placed[m:m + 1, :]
             return unres + unres_t
@@ -134,7 +134,7 @@ def _kernel(NBB, BM, d_rows, sels, interpret, rs_ref, idx_ref, out_ref,
             hit = jnp.zeros((8, LANES), jnp.uint32)
             for s in range(sels):
                 for m in range(8):
-                    r = rs_ref[0, t * 8 + m] + s
+                    r = rs_ref[0, 0, t * 8 + m] + s
                     rowbuf[m:m + 1, :] = bitmap[pl.ds(r, 1), :]
                 g = jnp.take_along_axis(rowbuf[:], lanew, axis=1)
                 hit = hit | jnp.where(row == r0v + s,
@@ -164,8 +164,10 @@ def fused_bitmap_join(idx_all, rs_all, *, nbb: int, d_rows: int,
     idx_all: (NB*BM, 128) u32 domain indices, sorted within each sort
     block (callers keep sort blocks aligned to grid blocks), sentinel
     0xFFFFFFFF for padding/invalid rows.  Blocks [0, nbb) are the build
-    side, the rest are probes.  rs_all: (NB, BM) int32 per-tile-row
-    bitmap row starts, pre-clipped to [0, d_rows - sels].
+    side, the rest are probes.  rs_all: (NB, 1, BM) int32 per-tile-row
+    bitmap row starts, pre-clipped to [0, d_rows - sels] (the middle
+    singleton keeps the SMEM block equal to the trailing array dims, the
+    only 1-D-ish shape the TPU lowering accepts).
 
     Returns (count, unres_build, unres_probe) int32 scalars.
     """
@@ -175,7 +177,7 @@ def fused_bitmap_join(idx_all, rs_all, *, nbb: int, d_rows: int,
         functools.partial(_kernel, nbb, BM, d_rows, sels, interpret),
         grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, BM), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, BM), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BM, LANES), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),

@@ -31,7 +31,8 @@ def main():
     rng = np.random.default_rng(0)
 
     cases = []
-    for name, nb in (("Q1", max(n // 1_000_000, 1)), ("Q2", n // 1_000)):
+    for name, nb in (("Q1", max(n // 1_000_000, 1)), ("Q2", n // 1_000),
+                     ("Q5", n)):
         universe = max(int(nb * 1.1), 2)
         bk = rng.integers(0, universe, nb, dtype=np.uint64)
         bv = rng.integers(1, 101, nb, dtype=np.uint64)
