@@ -110,17 +110,21 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
         if requested == "direct" or npr >= (1 << 16):
             bk_max = int(build_keys.max())
             span = bk_max - int(build_keys.min()) + 1
+            scan_cap = (db.MAX_DOMAIN_BITS if requested == "direct"
+                        else db.ADAPTIVE_SCAN_DOMAIN_BITS)
             if bk_max < 2**32:
-                if nb <= db.MAX_BUILD_ROWS and span <= db.MAX_DOMAIN_BITS:
-                    # scan kernel: no sort at all (<= 256 bitmap rows)
+                if nb <= db.MAX_BUILD_ROWS and span <= scan_cap:
+                    # scan kernel: no sort at all (adaptive <= 128 bitmap
+                    # rows, the measured win region; explicit <= 256)
                     strategy = "direct"
                     d_rows = db.d_rows_for(span)
-                elif (span <= db.MAX_LARGE_DOMAIN_BITS
-                      and db.large_span_ok(span, nb, npr)
-                      and (nb >= db.MIN_LARGE_BUILD_ROWS
-                           or requested == "direct")):
+                elif (requested == "direct"
+                      and span <= db.MAX_LARGE_DOMAIN_BITS
+                      and db.large_span_ok(span, nb, npr)):
                     # blockwise-sorted dense_bitmap kernel (VMEM-sized
-                    # domains up to 2^26 slots — the Q5 flagship shape)
+                    # domains up to 2^26 slots).  Explicit-only: measured
+                    # SLOWER than partitioned at the Q5 flagship span
+                    # (ops/direct_bitmap.py MAX_LARGE_D_ROWS note).
                     strategy = "direct"
                     d_rows = db.d_rows_for(span)
     if requested == "direct" and d_rows == 0:

@@ -40,16 +40,23 @@ SENTINEL = jnp.uint32(0xFFFFFFFF)
 MAX_DOMAIN_BITS = bp.MAX_D_ROWS * bp.BITS_PER_ROW   # 2^20
 MAX_BUILD_ROWS = 1 << 20
 
+# ADAPTIVE crossover for the scan path (measured on v5e, 4e7 probes,
+# scripts/profile_direct.py round 4): the scan cost is linear in d_rows
+# (~0.007 ns/probe-row per bitmap row) — span 2^16: 0.158 ns/row,
+# 2^18: 0.486, 2^20: 1.815 vs the partitioned tier's flat ~1.12-1.27 —
+# so the adaptive tier upgrades to direct only through 128 rows = 2^19
+# slots (predicted ~0.93 ns/row at the cap, still a win).  Explicitly
+# requested strategy="direct" may use the full 2^20 scan cap.
+ADAPTIVE_SCAN_DOMAIN_BITS = 128 * bp.BITS_PER_ROW   # 2^19
+
 # Domain cap for the LARGE path: the bitmap must fit VMEM next to the
 # streaming input tiles — 16384 rows = 2^26 slots = 8 MB.  Covers the
-# 4e7 flagship's 4.4e7-slot universe; 1e8's 1.1e8 falls back to the
-# sort route until a domain-chunked 2-pass lands.
+# 4e7 flagship's 4.4e7-slot universe.  NOT adaptive-routed: measured
+# 17.4 ns/row on 4e7-Q5 (vs partitioned 4.39 — the per-sublane
+# dynamic-row bitmap RMW/stage is the bottleneck); available via
+# strategy="direct" only until the kernel beats the sort route.
 MAX_LARGE_D_ROWS = 16384
 MAX_LARGE_DOMAIN_BITS = MAX_LARGE_D_ROWS * bp.BITS_PER_ROW  # 2^26
-# Below this build size the small-build strategies (vmem/range small
-# mode) are already fast and the large path's fixed sort-block padding
-# dominates; api.py only routes large when nb is at least this.
-MIN_LARGE_BUILD_ROWS = 1 << 16
 
 
 def d_rows_for(span: int) -> int:

@@ -85,22 +85,37 @@ def test_adaptive_upgrades_dense_count_only():
     assert info["strategy"] != "direct"
 
 
-def test_adaptive_upgrades_large_span():
-    # Q5-flagship shape scaled down: dense keys, span > 2^20 (past the
-    # scan cap), build >= MIN_LARGE_BUILD_ROWS -> the blockwise-sorted
-    # dense_bitmap path must take it, exactly
+def test_adaptive_gates_by_measured_crossover():
+    # Adaptive routes direct only inside the measured win region
+    # (span <= ADAPTIVE_SCAN_DOMAIN_BITS = 2^19); past it the partitioned
+    # tier is faster on-device (scripts/profile_direct.py) so adaptive
+    # must keep it.  Explicit strategy="direct" may still run the larger
+    # rungs (scan to 2^20, blockwise-sorted dense_bitmap to 2^26), exactly.
     rng = np.random.default_rng(6)
-    nb = db.MIN_LARGE_BUILD_ROWS
+    nb = 1 << 16
     span = (1 << 20) + 4096
     bk = rng.integers(0, span, nb).astype(np.uint64)
     bv = rng.integers(1, 101, nb).astype(np.uint64)
     pk = rng.integers(0, int(span * 1.1), 1 << 16).astype(np.uint64)
+    _, _, info = api._run_join(bk, bv, pk, mode="count",
+                               strategy="adaptive", use_bloom=False,
+                               return_info=True)
+    assert info["strategy"] != "direct"
     count, _, info = api._run_join(bk, bv, pk, mode="count",
-                                   strategy="adaptive", use_bloom=False,
+                                   strategy="direct", use_bloom=False,
                                    return_info=True)
     assert info["strategy"] == "direct"
     assert info["d_rows"] > 256
     assert count == oracle_count(bk, pk)
+    # in-region span (2^18 <= 2^19): adaptive upgrades
+    bk2 = rng.integers(0, 1 << 18, 40_000).astype(np.uint64)
+    bv2 = rng.integers(1, 101, 40_000).astype(np.uint64)
+    pk2 = rng.integers(0, 1 << 18, 1 << 17).astype(np.uint64)
+    count2, _, info = api._run_join(bk2, bv2, pk2, mode="count",
+                                    strategy="adaptive", use_bloom=False,
+                                    return_info=True)
+    assert info["strategy"] == "direct"
+    assert count2 == oracle_count(bk2, pk2)
 
 
 def test_out_of_domain_special_channel():
