@@ -123,26 +123,49 @@ def direct_join_count(kh, kl, ph, pl, nb_valid, np_valid, *, d_rows: int,
 def _blockwise_sorted_idx(idx, sort_block: int):
     """Pad with the sentinel to a sort_block multiple and sort each block
     ascending (independent blocks — measured ~4x cheaper per row than a
-    global sort; the dense_bitmap kernel only needs tile-row locality)."""
+    global sort; the dense_bitmap kernel only needs tile-row locality).
+
+    Elements are assigned to blocks STRIDED (element i -> block
+    i % nblocks) rather than contiguously: a contiguous split leaves the
+    ragged last block mostly sentinel-padded, and its low valid density
+    widens per-tile-row spans past the kernel's sels-row window (measured
+    round 4: 113K unresolved rows on the 4e7 flagship = guaranteed
+    exact-fallback rerun).  Striding spreads both the tail padding and
+    any interior validity sentinels evenly, so every block keeps
+    ~n/nblocks valid rows and the density model in large_span_ok holds
+    block-for-block.  Membership counting is assignment-invariant, so
+    this is free correctness-wise; the cost is one (per, nblocks)
+    transpose (~1 relayout pass)."""
     n = idx.shape[0]
     npad = -(-max(n, 1) // sort_block) * sort_block
     if npad != n:
         idx = jnp.concatenate(
             [idx, jnp.full((npad - n,), SENTINEL, jnp.uint32)])
-    blocks = idx.reshape(-1, sort_block)
+    nblocks = npad // sort_block
+    if nblocks > 1:
+        blocks = idx.reshape(sort_block, nblocks).T
+    else:
+        blocks = idx.reshape(-1, sort_block)
     (s,) = jax.lax.sort((blocks,), num_keys=1, is_stable=False, dimension=1)
     return s.reshape(-1, LANES)
 
 
-def large_span_ok(span: int, nb: int, npr: int, sels: int = 4) -> bool:
+def large_span_ok(span: int, nb: int, npr: int, sels: int = 4,
+                  sort_block: int = 1 << 20) -> bool:
     """Density gate for the large path: each side's mean tile-row span
-    (span * 128 / min(n, sort_block) slots) must fit within HALF the
-    sels-row window, so gamma-128 tail fluctuations stay ~6 sigma away
-    from an unresolved overflow (which would cost an exact-fallback
-    rerun)."""
-    sb = 1 << 20
+    (span * 128 / valid-rows-per-block slots) must fit within HALF the
+    sels-row window, so gamma-128 tail fluctuations stay far from an
+    unresolved overflow (which would cost an exact-fallback rerun).
+    With the strided block assignment every block holds ~n/nblocks valid
+    rows, so the per-block count — not min(n, sort_block) — is the right
+    density denominator."""
     half_window = (sels // 2) * bp.BITS_PER_ROW
-    return all(span * 128 <= half_window * min(max(ns, 1), sb)
+
+    def per_block(ns):
+        nblocks = -(-max(ns, 1) // sort_block)
+        return max(ns // max(nblocks, 1), 1)
+
+    return all(span * 128 <= half_window * per_block(ns)
                for ns in (nb, npr))
 
 
