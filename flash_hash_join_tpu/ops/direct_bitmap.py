@@ -51,10 +51,14 @@ ADAPTIVE_SCAN_DOMAIN_BITS = 128 * bp.BITS_PER_ROW   # 2^19
 
 # Domain cap for the LARGE path: the bitmap must fit VMEM next to the
 # streaming input tiles — 16384 rows = 2^26 slots = 8 MB.  Covers the
-# 4e7 flagship's 4.4e7-slot universe.  NOT adaptive-routed: measured
-# 17.4 ns/row on 4e7-Q5 (vs partitioned 4.39 — the per-sublane
-# dynamic-row bitmap RMW/stage is the bottleneck); available via
-# strategy="direct" only until the kernel beats the sort route.
+# 4e7 flagship's 4.4e7-slot universe.  Adaptive-routed (api.py) for
+# spans past the scan band when large_span_ok holds: with the strided
+# block assignment the flagship measures 3.94 ns/probe-row end-to-end
+# (0.158 s steady-state device) vs partitioned 4.37, and the win holds
+# across the band (nb=2.5M..40M at 4e7 probes — api.py crossover
+# table).  An earlier 17.4 ns/row reading was an artifact: the ragged
+# last sort block's low density overflowed the sels window and the
+# retry ladder silently re-ran (and re-timed) the merge path.
 MAX_LARGE_D_ROWS = 16384
 MAX_LARGE_DOMAIN_BITS = MAX_LARGE_D_ROWS * bp.BITS_PER_ROW  # 2^26
 

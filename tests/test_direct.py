@@ -86,27 +86,38 @@ def test_adaptive_upgrades_dense_count_only():
 
 
 def test_adaptive_gates_by_measured_crossover():
-    # Adaptive routes direct only inside the measured win region
-    # (span <= ADAPTIVE_SCAN_DOMAIN_BITS = 2^19); past it the partitioned
-    # tier is faster on-device (scripts/profile_direct.py) so adaptive
-    # must keep it.  Explicit strategy="direct" may still run the larger
-    # rungs (scan to 2^20, blockwise-sorted dense_bitmap to 2^26), exactly.
+    # Adaptive routes direct inside the measured win regions: the SCAN
+    # band (span <= ADAPTIVE_SCAN_DOMAIN_BITS = 2^19) and the LARGE
+    # dense_bitmap band (span in (2^20, 2^26] passing the large_span_ok
+    # density gate — round-4 crossover sweep, api.py table).  The hole
+    # (2^19, 2^20] stays partitioned: the 256-row scan rung measured
+    # slower there.  Sparse large spans (failing large_span_ok) must
+    # also stay partitioned.
     rng = np.random.default_rng(6)
     nb = 1 << 16
     span = (1 << 20) + 4096
     bk = rng.integers(0, span, nb).astype(np.uint64)
     bv = rng.integers(1, 101, nb).astype(np.uint64)
     pk = rng.integers(0, int(span * 1.1), 1 << 16).astype(np.uint64)
-    _, _, info = api._run_join(bk, bv, pk, mode="count",
+    count, _, info = api._run_join(bk, bv, pk, mode="count",
+                                   strategy="adaptive", use_bloom=False,
+                                   return_info=True)
+    assert info["strategy"] == "direct"  # dense large span: routed
+    assert info["d_rows"] > 256
+    assert count == oracle_count(bk, pk)
+    # scan-band hole (2^19, 2^20]: stays partitioned
+    bk_h = rng.integers(0, (1 << 19) + 4096, nb).astype(np.uint64)
+    _, _, info = api._run_join(bk_h, bv, pk, mode="count",
                                strategy="adaptive", use_bloom=False,
                                return_info=True)
     assert info["strategy"] != "direct"
-    count, _, info = api._run_join(bk, bv, pk, mode="count",
-                                   strategy="direct", use_bloom=False,
-                                   return_info=True)
-    assert info["strategy"] == "direct"
-    assert info["d_rows"] > 256
-    assert count == oracle_count(bk, pk)
+    # sparse large span (fails the density gate): stays partitioned
+    bk_s = (rng.integers(0, 1 << 12, nb).astype(np.uint64)
+            << np.uint64(13))  # span ~2^25, only 2^12 distinct clusters
+    _, _, info = api._run_join(bk_s, bv, pk, mode="count",
+                               strategy="adaptive", use_bloom=False,
+                               return_info=True)
+    assert info["strategy"] != "direct"
     # in-region span (2^18 <= 2^19): adaptive upgrades
     bk2 = rng.integers(0, 1 << 18, 40_000).astype(np.uint64)
     bv2 = rng.integers(1, 101, 40_000).astype(np.uint64)
