@@ -9,8 +9,10 @@ oracle cross-check — upgraded from the reference's eyeball-comparison to hard
 assertions (exit 1 on any count divergence).
 
 The oracle is numpy (np.isin) or the native C++ host oracle when built
-(csrc/, much faster at scale).  DuckDB is not available in this image; the
-numpy/C++ oracle plays its role.
+(csrc/, much faster at scale).  DuckDB competitor columns (reference
+benchmark.py:262-289) light up automatically when `import duckdb`
+succeeds — this image ships without it, so the numpy/C++ oracle plays
+the parity role here.
 
 Usage:
   python benchmark.py --gen 1e7            # generated J1-shaped suite
@@ -73,6 +75,78 @@ def run_one(label: str, task: str, fn, oracle_count: int, results: list,
         {"label": label, "task": task, "total": total, "core": core,
          "count": count, "ok": ok, "case": case,
          "device": (dev_fn and chained and dsec) or None, "alias": alias})
+    return ok
+
+
+def duckdb_module():
+    """The duckdb module if importable, else None (this image ships
+    without it; the harness lights the competitor columns up
+    automatically on images that have it — reference benchmark.py:262-289
+    runs DuckDB as oracle/competitor on every case)."""
+    try:
+        import duckdb
+        return duckdb
+    except Exception:
+        return None
+
+
+def run_duckdb_case(duckdb, case_id, bk, bv, pk, expected, results,
+                    threads: int = 0):
+    """DuckDB competitor rows, mirroring reference benchmark.py:262-289:
+    ingest timed separately; COUNT(*) join = join_count; materialize into
+    a TEMP table = join_materialize; both also reported as Ingest + Join.
+
+    The build side is deduplicated to its first occurrence per key before
+    ingest so DuckDB's full inner-join COUNT(*) computes the same logical
+    task as the engines' first-match count (SURVEY.md §3 semantics
+    contract).  db-benchmark build keys are unique, so on real J1 data
+    this is a no-op — the reference relies on that same fact.
+    """
+    import pandas as pd
+    _, first = np.unique(bk, return_index=True)
+    sel = np.sort(first)
+    build_df = pd.DataFrame({"key": bk[sel], "value": bv[sel]})   # noqa: F841
+    probe_df = pd.DataFrame({"key": pk})                          # noqa: F841
+    con = duckdb.connect(database=":memory:")
+    if threads:
+        con.execute(f"PRAGMA THREADS={threads}")
+    t0 = time.perf_counter()
+    con.execute("CREATE TABLE build_native AS SELECT * FROM build_df;")
+    con.execute("CREATE TABLE probe_native AS SELECT * FROM probe_df;")
+    t_ingest = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dcount = con.execute(
+        "SELECT count(*) FROM build_native b JOIN probe_native p "
+        "ON b.key = p.key;").fetchone()[0]
+    t_count = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    con.execute(
+        "CREATE OR REPLACE TEMPORARY TABLE temp AS SELECT p.key, b.value "
+        "FROM build_native b JOIN probe_native p ON b.key = p.key;")
+    mcount = con.execute("SELECT count(*) FROM temp").fetchone()[0]
+    t_mat = time.perf_counter() - t0
+    con.close()
+
+    ok = True
+    for label, task, t, cnt in (
+            ("duckdb (Join Only)", "join_count", t_count, dcount),
+            ("duckdb (Ingest + Join)", "join_count", t_ingest + t_count,
+             dcount),
+            ("duckdb (Join Only)", "join_materialize", t_mat, mcount),
+            ("duckdb (Ingest + Join)", "join_materialize", t_ingest + t_mat,
+             mcount)):
+        row_ok = cnt == expected
+        ok &= row_ok
+        log(f"    RESULT,Library={label},Task={task},Threads="
+            f"{threads or 'default'},Time={t:.4f},Core={t:.4f},Result={cnt}")
+        if not row_ok:
+            log(f"    PARITY FAILURE: {label}/{task}: got {cnt}, "
+                f"oracle {expected}")
+        results.append({"label": label, "task": task, "total": t, "core": t,
+                        "count": cnt, "ok": row_ok, "case": case_id,
+                        "device": None, "alias": ""})
     return ok
 
 
@@ -247,6 +321,12 @@ def main():
                     help="run materialized-VALUE parity checks on cases "
                          "with at most this many probe rows")
     ap.add_argument("--no-charts", action="store_true")
+    ap.add_argument("--no-duckdb", action="store_true",
+                    help="skip the DuckDB competitor columns even when "
+                         "duckdb is importable")
+    ap.add_argument("--duckdb-threads", type=int, default=0,
+                    help="PRAGMA THREADS for DuckDB (0 = its default); "
+                         "like the reference, affects only DuckDB")
     ap.add_argument("--device-time", action="store_true",
                     help="also measure steady-state device seconds per run "
                          "(chained-delta; extra compiles, TPU-meaningful)")
@@ -284,6 +364,11 @@ def main():
     if args.impls:
         impl_map = {k: v for k, v in impl_map.items() if k in args.impls}
 
+    ddb = None if args.no_duckdb else duckdb_module()
+    if ddb is not None:
+        log("duckdb detected: competitor columns enabled "
+            "(reference benchmark.py:262-289 parity).")
+
     results = []
     all_ok = True
     for gname, cases in suites:
@@ -312,6 +397,10 @@ def main():
                                       lambda f=api_fn: f(bk, bv, pk),
                                       expected, results, case=case_id,
                                       dev_fn=dev_fn, alias=alias)
+            if ddb is not None:
+                all_ok &= run_duckdb_case(ddb, case_id, bk, bv, pk,
+                                          expected, results,
+                                          threads=args.duckdb_threads)
             if len(pk) <= args.check_values_max:
                 all_ok &= check_values(bk, bv, pk)
 
