@@ -317,6 +317,9 @@ def main():
                     help="generate a J1-shaped suite with this many probe rows")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--impls", nargs="*", default=None)
+    ap.add_argument("--cases", nargs="*", default=None,
+                    help="run only cases whose id ends with one of these "
+                         "suffixes (e.g. --cases Q5 QB5)")
     ap.add_argument("--check-values-max", type=int, default=4_000_000,
                     help="run materialized-VALUE parity checks on cases "
                          "with at most this many probe rows")
@@ -375,6 +378,9 @@ def main():
         log("=" * 70)
         log(f"Suite {gname}")
         for case_id, bk, bv, pk in cases:
+            if args.cases and not any(case_id.endswith(c)
+                                      for c in args.cases):
+                continue
             expected = oracle(bk, pk)
             log(f"-- case {case_id}: build={len(bk)} probe={len(pk)} "
                 f"oracle_count={expected}")

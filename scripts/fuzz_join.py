@@ -29,7 +29,8 @@ FIXED_SHAPES = [(7, 100_000), (1_000, 5_000), (30_000, 60_000),
                 (40_000, 262_144),   # BLOCKWISE probe mode band
                 (16_385, 262_144),   # blockwise lower edge (just past SMALL)
                 (63_488, 133_000),   # blockwise S=62 cap + 1928-row ragged tail
-                (40_000, 131_073)]   # 1-row ragged tail past 2 full blocks
+                (40_000, 131_073),   # 1-row ragged tail past 2 full blocks
+                (400_000, 400_000)]  # large dense-bitmap band (dense_wide)
 
 
 def gen_case(rng, fixed_shapes=False):
@@ -44,7 +45,7 @@ def gen_case(rng, fixed_shapes=False):
         nb = int(rng.integers(1, 60_000))
         npr = int(rng.integers(1, 120_000))
     dist = rng.choice(["uniform", "narrow", "dense", "zipf", "dup_heavy",
-                       "sentinel", "tiny_universe"])
+                       "sentinel", "tiny_universe", "dense_wide"])
     if dist == "uniform":
         bk = rng.integers(0, 2**63, nb, dtype=np.uint64)
         pk = rng.integers(0, 2**63, npr, dtype=np.uint64)
@@ -71,6 +72,31 @@ def gen_case(rng, fixed_shapes=False):
             hits = rng.integers(0, len(arr), max(len(arr) // 50, 1))
             arr[hits] = rng.choice(
                 np.array([2**64 - 1, 2**32 - 1, 0], np.uint64), len(hits))
+    elif dist == "dense_wide":
+        # spans past the 2^20 scan cap: the LARGE dense-bitmap band
+        # (blockwise sorts + ops/pallas/dense_bitmap.py); occasionally
+        # carve a wide key-space gap so a straddling tile-row overflows
+        # the sels window and the exact-fallback ladder runs.  Random
+        # (CPU/interpret) mode bounds shape and span — the interpreted
+        # kernel costs minutes past ~2^17 rows; the device fixed-shapes
+        # run covers the big band
+        if not fixed_shapes:
+            # ONE canonical shape + one d_rows rung: the interpreted
+            # kernel's unrolled XLA graph takes minutes to compile per
+            # shape on CPU, so random mode must reuse a single compile
+            nb, npr = 40_000, 65_536
+            span = int(rng.integers((1 << 20) + 1, 1 << 21))
+        else:
+            span = int(rng.integers((1 << 20) + 1, 1 << 22))
+        base = int(rng.integers(0, 2**31))
+        bk = (rng.integers(0, span, nb) + base).astype(np.uint64)
+        pk = (rng.integers(0, int(span * 1.2) + 1, npr) + base).astype(
+            np.uint64)
+        if rng.integers(0, 3) == 0:
+            lo, hi = int(span * 0.3), int(span * 0.9)
+            for arr in (bk, pk):
+                m = (arr - base >= lo) & (arr - base < hi)
+                arr[m] += np.uint64(hi - lo)
     else:  # tiny_universe
         u = int(rng.integers(1, 6))
         bk = rng.integers(0, u, nb, dtype=np.uint64)
@@ -134,10 +160,16 @@ def main():
         strat = strategies[it % len(strategies)]
         if strat == "vmem" and (len(bk) > 40_000 or len(pk) < 2 * len(bk)):
             strat = "merge"
-        if strat == "direct" and not (
-                int(bk.max()) < 2**32
-                and int(bk.max()) - int(bk.min()) < 2**20):
-            strat = "merge"
+        if strat == "direct":
+            from flash_hash_join_tpu.ops import direct_bitmap as db
+            bmax = int(bk.max())
+            span = bmax - int(bk.min()) + 1
+            if not (bmax < 2**32 and (
+                    (len(bk) <= db.MAX_BUILD_ROWS
+                     and span <= db.MAX_DOMAIN_BITS)
+                    or (span <= db.MAX_LARGE_DOMAIN_BITS
+                        and db.large_span_ok(span, len(bk), len(pk))))):
+                strat = "merge"
         if args.chunked:
             # alternate chunk counts and overlap/serial across iterations;
             # keep shapes' chunk GEOMETRY stable for compile reuse on TPU
