@@ -120,7 +120,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
                     d_rows = db.d_rows_for(span)
                 elif ((requested == "direct"
                        or span > db.MAX_DOMAIN_BITS)
-                      and span <= db.MAX_LARGE_DOMAIN_BITS
+                      and span <= db.MAX_XL_DOMAIN_BITS
                       and db.large_span_ok(span, nb, npr)):
                     # blockwise-sorted dense_bitmap kernel (VMEM-sized
                     # domains up to 2^26 slots).  Adaptive-routed for
@@ -137,7 +137,8 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     if requested == "direct" and d_rows == 0:
         raise ValueError(
             "direct strategy requires mode='count', build keys < 2^32 with "
-            f"domain span <= 2^26 (got nb={nb})")
+            "a dense domain (span <= 2^20, or up to ~1.17e8 slots with "
+            f"enough per-block density) (got nb={nb})")
     if probe_chunks > 1:
         return _run_chunked(build_keys, build_values, probe_keys, mode=mode,
                             strategy=strategy, use_bloom=use_bloom,

@@ -62,17 +62,41 @@ ADAPTIVE_SCAN_DOMAIN_BITS = 128 * bp.BITS_PER_ROW   # 2^19
 MAX_LARGE_D_ROWS = 16384
 MAX_LARGE_DOMAIN_BITS = MAX_LARGE_D_ROWS * bp.BITS_PER_ROW  # 2^26
 
+# XL band: spans past 2^26 run the same kernel with a 2x sort block
+# (2^21 — keeps each block's per-tile-row span inside the sels=4 window
+# at J1 densities) and a bitmap that grows in 4096-row (2 MB) steps
+# instead of pow2 doubling (32768 rows = 16 MB would not fit VMEM next
+# to the streaming tiles; 28672 = 14 MB compile-checked on v5e).
+# Sized to cover the 1e8 J1 Q5 universe (1.1e8 slots).
+MAX_XL_D_ROWS = 28672
+MAX_XL_DOMAIN_BITS = MAX_XL_D_ROWS * bp.BITS_PER_ROW  # 117,440,512
+XL_SORT_BLOCK = 1 << 21
+XL_STEP_ROWS = 4096
+
 
 def d_rows_for(span: int) -> int:
     """Compile rung: bitmap rows for a key span, pow2 so shapes cache.
 
     Rungs <= bp.MAX_D_ROWS (256) run the scan kernel; larger rungs run
-    the blockwise-sorted dense_bitmap kernel (up to MAX_LARGE_D_ROWS)."""
+    the blockwise-sorted dense_bitmap kernel.  Past MAX_LARGE_D_ROWS the
+    XL rungs step by XL_STEP_ROWS (pow2 doubling would blow VMEM)."""
     need = -(-max(span, 1) // bp.BITS_PER_ROW)
     r = 8
-    while r < need:
+    while r < need and r < MAX_LARGE_D_ROWS:
         r *= 2
+    if need > r:
+        r = -(-need // XL_STEP_ROWS) * XL_STEP_ROWS
     return r
+
+
+def sort_block_for(d_rows: int, interpret: bool = False) -> int:
+    """The blockwise sort-block size matched to a d_rows rung: XL rungs
+    double the block so the density gate (large_span_ok) keeps holding —
+    per-tile-row span scales with span/rows-per-block, and XL spans are
+    up to 2x the 2^26 cap the 2^20 block was sized for."""
+    if interpret:
+        return 1 << 14
+    return XL_SORT_BLOCK if d_rows > MAX_LARGE_D_ROWS else 1 << 20
 
 
 def direct_join_count(kh, kl, ph, pl, nb_valid, np_valid, *, d_rows: int,
@@ -155,7 +179,7 @@ def _blockwise_sorted_idx(idx, sort_block: int):
 
 
 def large_span_ok(span: int, nb: int, npr: int, sels: int = 4,
-                  sort_block: int = 1 << 20) -> bool:
+                  sort_block: int | None = None) -> bool:
     """Density gate for the large path: each side's mean tile-row span
     (span * 128 / valid-rows-per-block slots) must fit within HALF the
     sels-row window, so gamma-128 tail fluctuations stay far from an
@@ -163,6 +187,8 @@ def large_span_ok(span: int, nb: int, npr: int, sels: int = 4,
     With the strided block assignment every block holds ~n/nblocks valid
     rows, so the per-block count — not min(n, sort_block) — is the right
     density denominator."""
+    if sort_block is None:
+        sort_block = sort_block_for(d_rows_for(span))
     half_window = (sels // 2) * bp.BITS_PER_ROW
 
     def per_block(ns):
@@ -191,8 +217,9 @@ def direct_join_count_large(kh, kl, ph, pl, nb_valid, np_valid, *,
     if sort_block is None:
         # interpret mode (CPU tests) shrinks the blocks so the per-grid
         # python emulation stays tractable; locality only loosens — the
-        # wider sels window below compensates
-        sort_block = (1 << 14) if interpret else (1 << 20)
+        # wider sels window below compensates.  XL rungs double the block
+        # (sort_block_for) to hold the density gate at 2x the span.
+        sort_block = sort_block_for(d_rows, interpret)
     if block_rows is None:
         block_rows = 128 if interpret else 512
     if sels is None:

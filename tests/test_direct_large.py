@@ -106,3 +106,30 @@ def test_fuzz_small_shapes():
         cnt, sp3 = _run_large(bk, pk)
         if sp3 == 0:
             assert cnt == int(np.isin(pk, bk).sum()), it
+
+
+def test_xl_rung_math():
+    # Rungs stay pow2 through MAX_LARGE_D_ROWS, then step by XL_STEP_ROWS
+    # (pow2 doubling to 32768 rows = 16 MB would not fit VMEM).
+    assert db.d_rows_for(db.MAX_LARGE_DOMAIN_BITS) == db.MAX_LARGE_D_ROWS
+    assert db.d_rows_for(db.MAX_LARGE_DOMAIN_BITS + 1) == \
+        db.MAX_LARGE_D_ROWS + db.XL_STEP_ROWS
+    assert db.d_rows_for(110_000_000) == 28672      # the 1e8 J1 universe
+    assert db.d_rows_for(db.MAX_XL_DOMAIN_BITS) == db.MAX_XL_D_ROWS
+    for span in (1, 4096, 2**20, 2**25, 90_000_000):
+        r = db.d_rows_for(span)
+        assert r * 4096 >= span
+        assert r <= db.MAX_XL_D_ROWS
+        assert r % min(128, r) == 0                  # zero-strip divisor
+
+
+def test_xl_sort_block_and_density_gate():
+    # XL rungs double the sort block so J1-density 1e8 spans pass the gate
+    assert db.sort_block_for(16384) == 1 << 20
+    assert db.sort_block_for(20480) == db.XL_SORT_BLOCK
+    assert db.sort_block_for(28672, interpret=True) == 1 << 14
+    # the 1e8 J1 Q5 shape: span 1.1e8, nb = npr = 1e8 -> passes
+    assert db.large_span_ok(110_000_000, 100_000_000, 100_000_000)
+    # same span with a sub-block build side: per-block density too thin
+    # at sels=4 -> gate must reject (fallback rerun would eat the win)
+    assert not db.large_span_ok(110_000_000, 1_000_000, 100_000_000)
