@@ -131,7 +131,12 @@ def _local_join(
     )
 
     # --- probe side: chunked exchange, compute per chunk -----------------
-    k = overlap_chunks if ph.shape[0] % overlap_chunks == 0 else 1
+    # shapes are static at trace time, so degrade to the LARGEST chunk
+    # count <= overlap_chunks that divides the shard (not straight to 1:
+    # k=1 forfeits all exchange/compute overlap on any odd-sized shard)
+    k = overlap_chunks
+    while k > 1 and ph.shape[0] % k:
+        k -= 1
     cq = max(quota_p // k, 16)
     recvs = []
     overflow_p = jnp.int32(0)
