@@ -140,6 +140,13 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
             "a dense domain (span <= 2^20, or up to ~1.17e8 slots with "
             f"enough per-block density) (got nb={nb})")
     if probe_chunks > 1:
+        # A padded caller (the chunk stream's overflow retry) marks its pad
+        # tail via _valid_probe_rows; the chunk stream has no validity
+        # parameter, so TRIM to the valid prefix before re-chunking — pad
+        # keys are arbitrary (often 0) and would otherwise count as real
+        # probe rows (fuzzer --chunked catch, round 4).
+        if _valid_probe_rows is not None:
+            probe_keys = probe_keys[:_valid_probe_rows]
         return _run_chunked(build_keys, build_values, probe_keys, mode=mode,
                             strategy=strategy, use_bloom=use_bloom,
                             return_arrays=return_arrays,

@@ -249,6 +249,38 @@ def test_plan_raises_on_oversized_build():
         plan_probe_chunks(10**9, 10**6, "count")
 
 
+def test_rechunked_padded_tail_not_counted(monkeypatch):
+    """A padded caller (the chunk stream's overflow retry) passes
+    _valid_probe_rows; if the plan then says to re-chunk, the pad tail
+    must be trimmed first — pad keys are 0, which can be a REAL build key,
+    and the chunk stream has no validity parameter (fuzzer --chunked
+    catch, round 4: tiny-universe all-zero build keys overcounted +13
+    through the recursive re-chunk cascade)."""
+    import flash_hash_join_tpu.api as api
+    from flash_hash_join_tpu.engine import JoinEngine
+    from flash_hash_join_tpu.models.cost import JoinPlan
+
+    def fake_plan(self, nb, npr, mode="count"):
+        real = choose_plan(nb, npr, self.cfg, mode)
+        return JoinPlan(real.strategy, real.gbits,
+                        2 if npr >= 4_000 else 1)
+
+    monkeypatch.setattr(JoinEngine, "plan", fake_plan)
+    rng = np.random.default_rng(991)
+    nb = 1_000
+    bk = np.zeros(nb, dtype=np.uint64)          # 0 is a real build key
+    bv = rng.integers(0, 2**31, nb, dtype=np.uint64)
+    valid = 7_990
+    pk = rng.integers(0, 3, valid, dtype=np.uint64)
+    padded = np.pad(pk, (0, 10))                # 10 pad rows of key 0
+    expected = int((pk == 0).sum())
+
+    count, _ = api._run_join(bk, bv, padded, mode="count",
+                             strategy="partitioned", use_bloom=False,
+                             _valid_probe_rows=valid)
+    assert count == expected
+
+
 def test_explicit_strategies_bypass_partitioned_plan(monkeypatch):
     """merge/global/vmem requests must not consult (or trip) the
     partitioned feasibility plan."""
