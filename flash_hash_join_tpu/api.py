@@ -121,17 +121,19 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
                 elif ((requested == "direct"
                        or span > db.MAX_DOMAIN_BITS)
                       and span <= db.MAX_XL_DOMAIN_BITS
-                      and db.large_span_ok(span, nb, npr)):
+                      and db.large_span_ok(span, nb, npr)
+                      and (requested == "direct"
+                           or db.large_span_wins(nb, npr))):
                     # blockwise-sorted dense_bitmap kernel (VMEM-sized
-                    # domains up to 2^26 slots).  Adaptive-routed for
-                    # spans past the scan band: measured FASTER than
-                    # partitioned across the whole eligible band on v5e
-                    # (4e7 probes, ns/probe-row direct vs partitioned —
-                    # nb=2.5M: 1.95/2.41, 5M: 2.01/2.47, 10M: 2.45/2.77,
-                    # 20M: 2.90/3.20, 40M flagship: 3.94/4.37 = 0.158 s,
-                    # round-4 crossover sweep).  Spans in (2^19, 2^20]
-                    # stay partitioned: there the 256-row SCAN rung would
-                    # run (~1.8 ns/row) and partitioned measured faster.
+                    # domains up to 2^26 slots).  Adaptive-routed only in
+                    # the measured win region (large_span_wins: npr >=
+                    # 3.2e7 — at 4e7 probes direct wins across nb=2.5M..
+                    # 40M, flagship 3.94/4.37 ns/row = 0.158 s; at <= 2e7
+                    # probes it LOSES everywhere, up to 47% — the 2D
+                    # (nb, npr) sweep lives in profile_crossover.py).
+                    # Spans in (2^19, 2^20] stay partitioned: there the
+                    # 256-row SCAN rung would run (~1.8 ns/row) and
+                    # partitioned measured faster.
                     strategy = "direct"
                     d_rows = db.d_rows_for(span)
     if requested == "direct" and d_rows == 0:

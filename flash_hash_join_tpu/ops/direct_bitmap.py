@@ -199,6 +199,28 @@ def large_span_ok(span: int, nb: int, npr: int, sels: int = 4,
                for ns in (nb, npr))
 
 
+# PERF gate for ADAPTIVE routing of the large path (explicit
+# strategy="direct" bypasses it).  Measured on v5e
+# (scripts/profile_crossover.py, round 4, ns/probe-row direct vs
+# partitioned):
+#   npr=1e7: nb=2.5M 3.74/2.59, 5M 4.32/3.05, 10M 6.42/3.21 — loses
+#   npr=2e7: nb=2.5M 2.42/1.72, 10M 3.60/3.03, 20M 4.77/3.25 — loses
+#   npr=4e7: nb=2.5M 1.95/2.41, 10M 2.45/2.77, 40M 3.94/4.37 — WINS
+# The flip between 2e7 and 4e7 tracks the GLOBAL probe sort's log-factor
+# growth (the partitioned tier sorts both sides globally; the direct
+# kernel's blockwise sorts are flat per row), so the gate is a probe-row
+# threshold, conservative toward the partitioned tier because the 2e7
+# losses (up to 47%) are larger than the 4e7 wins (10-19%).  nb > 1.25x
+# npr has no measured win anywhere and stays partitioned.
+LARGE_MIN_PROBE_ROWS = 32_000_000
+
+
+def large_span_wins(nb: int, npr: int) -> bool:
+    """Measured-crossover perf gate: should the ADAPTIVE tier route an
+    eligible dense large span through the direct kernel?"""
+    return npr >= LARGE_MIN_PROBE_ROWS and nb <= npr + npr // 4
+
+
 def direct_join_count_large(kh, kl, ph, pl, nb_valid, np_valid, *,
                             d_rows: int, sort_block: int | None = None,
                             block_rows: int | None = None,

@@ -85,14 +85,19 @@ def test_adaptive_upgrades_dense_count_only():
     assert info["strategy"] != "direct"
 
 
-def test_adaptive_gates_by_measured_crossover():
+def test_adaptive_gates_by_measured_crossover(monkeypatch):
     # Adaptive routes direct inside the measured win regions: the SCAN
     # band (span <= ADAPTIVE_SCAN_DOMAIN_BITS = 2^19) and the LARGE
-    # dense_bitmap band (span in (2^20, 2^26] passing the large_span_ok
-    # density gate — round-4 crossover sweep, api.py table).  The hole
+    # dense_bitmap band (span in (2^20, 2^26] passing BOTH the
+    # large_span_ok density gate and the large_span_wins perf gate —
+    # round-4 2D crossover sweep, profile_crossover.py).  The hole
     # (2^19, 2^20] stays partitioned: the 256-row scan rung measured
     # slower there.  Sparse large spans (failing large_span_ok) must
-    # also stay partitioned.
+    # also stay partitioned.  The perf gate is forced open here so the
+    # structural gates are what this test exercises at CPU-sized probe
+    # counts; the gate itself is unit-tested below.
+    from flash_hash_join_tpu.ops import direct_bitmap as db
+    monkeypatch.setattr(db, "large_span_wins", lambda nb, npr: True)
     rng = np.random.default_rng(6)
     nb = 1 << 16
     span = (1 << 20) + 4096
@@ -127,6 +132,22 @@ def test_adaptive_gates_by_measured_crossover():
                                     return_info=True)
     assert info["strategy"] == "direct"
     assert count2 == oracle_count(bk2, pk2)
+
+
+def test_large_span_wins_pins_measured_crossover():
+    # Pin the measured v5e win/lose points (profile_crossover.py round 4;
+    # constants in ops/direct_bitmap.py).  Losing points at <= 2e7 probes
+    # must stay partitioned; the 4e7-probe row must route direct.
+    from flash_hash_join_tpu.ops import direct_bitmap as db
+    for nb in (2_500_000, 10_000_000):
+        assert not db.large_span_wins(nb, 10_000_000)
+        assert not db.large_span_wins(nb, 20_000_000)
+        assert db.large_span_wins(nb, 40_000_000)
+    assert not db.large_span_wins(20_000_000, 20_000_000)
+    assert db.large_span_wins(40_000_000, 40_000_000)   # flagship
+    assert db.large_span_wins(100_000_000, 100_000_000)  # 1e8 J1 Q5
+    # no measured win for build >> probe: stays partitioned
+    assert not db.large_span_wins(60_000_000, 40_000_000)
 
 
 def test_out_of_domain_special_channel():
