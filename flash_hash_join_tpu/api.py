@@ -96,23 +96,33 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
     else:
         probe_chunks = 1
 
-    # Dense-domain upgrade (count only): db-benchmark Q1/Q2 build keys are
-    # dense ints, so membership counting needs a BITMAP, not a hash table
-    # (ops/direct_bitmap.py — DuckDB's perfect-hash-join statistic, made
-    # TPU-native).  Detected host-side from the numpy inputs, outside
-    # core_seconds, like the narrow-key check below.  Only the adaptive
-    # entry upgrades — explicitly named strategies must run what was asked
-    # (benchmark.py compares them as distinct implementations).
+    # Dense-domain upgrade: db-benchmark Q1/Q2 build keys are dense ints,
+    # so membership counting needs a BITMAP, not a hash table, and value
+    # fetch a direct-address PLANE, not a probe (ops/direct_bitmap.py —
+    # DuckDB's perfect-hash-join statistic, made TPU-native).  Detected
+    # host-side from the numpy inputs, outside core_seconds, like the
+    # narrow-key check below.  Only the adaptive entry upgrades —
+    # explicitly named strategies must run what was asked (benchmark.py
+    # compares them as distinct implementations).
     d_rows = 0
-    if (mode == "count" and probe_chunks == 1 and nb > 0
-            and requested in ("adaptive", "direct")):
+    if (mode == "materialize" and probe_chunks > 1):
+        pass  # chunked materialize keeps the sort route (value planes
+        #       would rebuild per chunk; unmeasured — count is the win)
+    elif nb > 0 and requested in ("adaptive", "direct"):
         from flash_hash_join_tpu.ops import direct_bitmap as db
-        if requested == "direct" or npr >= (1 << 16):
+        # Chunked streams gate on the PER-CHUNK probe count — that is the
+        # graph shape each chunk actually runs (the bitmap build repeats
+        # per chunk, but it is probe-independent and the crossover sweep
+        # already charges it to the direct side).
+        npr_gate = -(-npr // probe_chunks)
+        if requested == "direct" or npr_gate >= (1 << 16):
             bk_max = int(build_keys.max())
             span = bk_max - int(build_keys.min()) + 1
             scan_cap = (db.MAX_DOMAIN_BITS if requested == "direct"
                         else db.ADAPTIVE_SCAN_DOMAIN_BITS)
-            if bk_max < 2**32:
+            if bk_max >= 2**32:
+                pass
+            elif mode == "count":
                 if nb <= db.MAX_BUILD_ROWS and span <= scan_cap:
                     # scan kernel: no sort at all (adaptive <= 128 bitmap
                     # rows, the measured win region; explicit <= 256)
@@ -121,26 +131,44 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
                 elif ((requested == "direct"
                        or span > db.MAX_DOMAIN_BITS)
                       and span <= db.MAX_XL_DOMAIN_BITS
-                      and db.large_span_ok(span, nb, npr)
+                      and db.large_span_ok(span, nb, npr_gate)
                       and (requested == "direct"
-                           or db.large_span_wins(nb, npr))):
+                           or db.large_span_wins(nb, npr_gate))):
                     # blockwise-sorted dense_bitmap kernel (VMEM-sized
                     # domains up to 2^26 slots).  Adaptive-routed only in
                     # the measured win region (large_span_wins: npr >=
                     # 3.2e7 — at 4e7 probes direct wins across nb=2.5M..
                     # 40M, flagship 3.94/4.37 ns/row = 0.158 s; at <= 2e7
-                    # probes it LOSES everywhere, up to 47% — the 2D
-                    # (nb, npr) sweep lives in profile_crossover.py).
+                    # probes it LOSES everywhere — worst ~2x at npr=1e7/
+                    # nb=1e7 (6.42 vs 3.21 ns/row), ~47% at npr=2e7 — the
+                    # 2D (nb, npr) sweep lives in profile_crossover.py).
                     # Spans in (2^19, 2^20] stay partitioned: there the
                     # 256-row SCAN rung would run (~1.8 ns/row) and
                     # partitioned measured faster.
                     strategy = "direct"
                     d_rows = db.d_rows_for(span)
+            elif nb <= db.MAX_BUILD_ROWS:
+                # materialize: value planes at 128-slot rows; scan band
+                # needs no sort, staged band blockwise-sorts ONE u32
+                # column.  Adaptive gating: db.mat_wins (measured
+                # crossover, scripts/profile_dense_mat.py).
+                v_rows = db.v_rows_for(span)
+                if v_rows <= db.MAT_SCAN_MAX_V_ROWS:
+                    if requested == "direct" or db.mat_wins(v_rows, npr):
+                        strategy = "direct"
+                        d_rows = v_rows
+                elif (v_rows <= db.MAT_MAX_V_ROWS
+                      and db.mat_span_ok(span, npr)
+                      and (requested == "direct"
+                           or db.mat_wins(v_rows, npr))):
+                    strategy = "direct"
+                    d_rows = v_rows
     if requested == "direct" and d_rows == 0:
         raise ValueError(
-            "direct strategy requires mode='count', build keys < 2^32 with "
-            "a dense domain (span <= 2^20, or up to ~1.17e8 slots with "
-            f"enough per-block density) (got nb={nb})")
+            "direct strategy requires build keys < 2^32 with a dense "
+            "domain (count: span <= 2^20, or up to ~1.17e8 slots with "
+            "enough per-block density; materialize: span <= 2^20 slots) "
+            f"(got nb={nb})")
     if probe_chunks > 1:
         # A padded caller (the chunk stream's overflow retry) marks its pad
         # tail via _valid_probe_rows; the chunk stream has no validity
@@ -153,7 +181,7 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
                             strategy=strategy, use_bloom=use_bloom,
                             return_arrays=return_arrays,
                             return_info=return_info,
-                            probe_chunks=probe_chunks)
+                            probe_chunks=probe_chunks, d_rows=d_rows)
 
     # Type-specialized codegen (the standard DB move), checked host-side,
     # outside core_seconds — like the reference's pybind marshaling, which
@@ -182,6 +210,9 @@ def _run_join(build_keys, build_values, probe_keys, *, mode: str,
                                                   full_valid) != 1]
         narrow_values = (mode == "materialize"
                          and int(build_values.max()) < 2**32)
+    elif strategy == "direct" and mode == "materialize":
+        # one u32 value plane instead of two when values fit 32 bits
+        narrow_values = int(build_values.max()) < 2**32
     compiled = eng.prepare(nb, npr, mode, strategy, use_bloom,
                            order=orders[0][0] or "hash",
                            w_mult=orders[0][1],
@@ -267,7 +298,7 @@ def _is_oom(e: Exception) -> bool:
 
 def _run_chunked(build_keys, build_values, probe_keys, *, mode: str,
                  strategy: str, use_bloom: bool, return_arrays: bool,
-                 return_info: bool, probe_chunks: int):
+                 return_info: bool, probe_chunks: int, d_rows: int = 0):
     """Host-side probe-chunk streaming with transfer/compute OVERLAP.
 
     The feasibility model (models/cost.py plan_probe_chunks) said the probe
@@ -296,7 +327,7 @@ def _run_chunked(build_keys, build_values, probe_keys, *, mode: str,
                 build_keys, build_values, probe_keys, mode=mode,
                 strategy=strategy, use_bloom=use_bloom,
                 return_arrays=return_arrays, return_info=return_info,
-                probe_chunks=probe_chunks, overlap=overlap)
+                probe_chunks=probe_chunks, overlap=overlap, d_rows=d_rows)
         except Exception as e:  # noqa: BLE001 — filtered to OOM below
             if not _is_oom(e) or probe_chunks >= 65536:
                 raise
@@ -305,7 +336,8 @@ def _run_chunked(build_keys, build_values, probe_keys, *, mode: str,
 
 def _stream_chunks(build_keys, build_values, probe_keys, *, mode: str,
                    strategy: str, use_bloom: bool, return_arrays: bool,
-                   return_info: bool, probe_chunks: int, overlap: bool):
+                   return_info: bool, probe_chunks: int, overlap: bool,
+                   d_rows: int = 0):
     eng = default_engine()
     nb, npr = len(build_keys), len(probe_keys)
     chunk = -(-npr // probe_chunks)
@@ -318,7 +350,7 @@ def _stream_chunks(build_keys, build_values, probe_keys, *, mode: str,
                      and int(build_values.max()) < 2**32)
     compiled = eng.prepare(nb, chunk, mode, strategy, use_bloom, order=order,
                            w_mult=1, narrow_values=narrow_values,
-                           full_valid=False)
+                           full_valid=False, d_rows=d_rows)
     kh, kl = u64.split_u64(build_keys)
     vh, vl = u64.split_u64(build_values)
     bargs = [jax.device_put(a) for a in (kh, kl, vh, vl)]
@@ -357,8 +389,11 @@ def _stream_chunks(build_keys, build_values, probe_keys, *, mode: str,
             v = len(sl)
             if v < chunk:
                 sl = np.pad(sl, (0, chunk - v))
+            # direct overflow (unresolved window) is deterministic on the
+            # same inputs — go straight to the always-exact merge tier
+            retry = "merge" if strategy == "direct" else strategy
             res = _run_join(build_keys, build_values, sl, mode=mode,
-                            strategy=strategy, use_bloom=use_bloom,
+                            strategy=retry, use_bloom=use_bloom,
                             return_arrays=arrs is not None,
                             _valid_probe_rows=v)
             total += res[0]
@@ -394,7 +429,8 @@ def _stream_chunks(build_keys, build_values, probe_keys, *, mode: str,
                                  w_mult=1, narrow_values=narrow_values,
                                  use_bloom=use_bloom, compiled=None,
                                  args=None, nb=nb, npr=npr,
-                                 probe_chunks=probe_chunks)
+                                 probe_chunks=probe_chunks,
+                                 d_rows=d_rows if strategy == "direct" else 0)
     if arrs is not None:
         return total, core, np.concatenate(arrs[0]), np.concatenate(arrs[1])
     return total, core

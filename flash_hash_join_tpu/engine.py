@@ -105,17 +105,32 @@ def direct_count_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
                                 d_rows=d_rows, interpret=interpret)
 
 
+def direct_materialize_graph(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
+                             v_rows, narrow_values, interpret):
+    from flash_hash_join_tpu.ops import direct_bitmap as db
+    return db.direct_join_materialize(
+        kh, kl, vh, vl, ph, pl, nb_valid, np_valid, v_rows=v_rows,
+        narrow_values=narrow_values, interpret=interpret)
+
+
 def _graph_fn(n_build: int, n_probe: int, mode: str, strategy: str,
               use_bloom: bool, cfg: JoinConfig, gbits: int,
               order: str = "hash", narrow_values: bool = False,
               w_mult: int = 1, full_valid: bool = True, d_rows: int = 0):
     """The uncompiled join graph for a shape/config signature."""
     if strategy == "direct":
-        # count-only dense-domain bitmap (ops/direct_bitmap.py); api.py
-        # guarantees mode == "count" and a d_rows rung sized to the span
+        # dense-domain direct addressing (ops/direct_bitmap.py).  The
+        # d_rows arg is the compile RUNG: bitmap rows (4096 slots each)
+        # for count, value-plane rows (128 slots each) for materialize —
+        # api.py sizes it with d_rows_for / v_rows_for respectively.
         interpret = jax.default_backend() == "cpu"
-        fn = functools.partial(direct_count_graph, d_rows=d_rows,
-                               interpret=interpret)
+        if mode == "count":
+            fn = functools.partial(direct_count_graph, d_rows=d_rows,
+                                   interpret=interpret)
+        else:
+            fn = functools.partial(direct_materialize_graph, v_rows=d_rows,
+                                   narrow_values=narrow_values,
+                                   interpret=interpret)
     elif strategy == "merge":
         fn = merge_count_graph if mode == "count" else merge_materialize_graph
     elif strategy == "vmem":
@@ -217,8 +232,12 @@ def _compiled_chained(n_build: int, n_probe: int, mode: str, strategy: str,
                 out = fn(kh, kl + r, vh, vl, ph, pl + r, nb, npv)
                 cnt = out[0].astype(jnp.int32)
                 spec = out[-1][3].astype(jnp.int32)
+                fold = jnp.uint32(0)
+                if mode == "materialize":
+                    fold = jnp.sum(out[1] ^ out[2] ^ out[3] ^ out[4],
+                                   dtype=jnp.uint32)
                 c_acc, s_acc, f_acc = carry
-                return (c_acc + cnt, s_acc + spec, f_acc), None
+                return (c_acc + cnt, s_acc + spec, f_acc ^ fold), None
             lo_b = kl + r
             hi_b = kh + (lo_b < kl).astype(jnp.uint32)
             lo_p = pl + r

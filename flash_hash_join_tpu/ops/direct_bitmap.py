@@ -99,6 +99,190 @@ def sort_block_for(d_rows: int, interpret: bool = False) -> int:
     return XL_SORT_BLOCK if d_rows > MAX_LARGE_D_ROWS else 1 << 20
 
 
+# --- dense-domain MATERIALIZE ------------------------------------------------
+#
+# Value planes live at SLOT granularity (row = idx>>7, lane = idx&127), so
+# a span of S slots needs v_rows = S/128 plane rows — 32x the bitmap's row
+# count.  Two bands:
+#   scan  (v_rows <= MAT_SCAN_MAX_V_ROWS): unsorted probes, the
+#         bitmap_probe.probe_gather_bitmap scan kernel — covers every J1
+#         Q1 shape (v_rows = 1) and Q2 at 1e7 (88 rows).
+#   staged (v_rows <= MAT_MAX_V_ROWS): ONE-column blockwise probe sort +
+#         dense_values.probe_gather_staged dynamic-row staging — covers
+#         Q2 at 2e7/4e7 and any dense span to 2^20 slots.
+# Both reconstruct the matched probe key as lo + idx (only in-domain
+# probes can hit, and in-domain keys have hi == 0), so nothing but the
+# u32 domain index ever rides the kernel or the sort.  Reference strategy
+# being replaced: count-then-write at exact offsets,
+# /root/reference/hash_join.cpp:394-444.
+MAT_SCAN_MAX_V_ROWS = 128          # tuned: scripts/profile_dense_mat.py
+MAT_MAX_V_ROWS = 8192              # 2^20 slots; 4 MB per u32 value plane
+
+
+def v_rows_for(span: int) -> int:
+    """Compile rung for materialize value planes: pow2 rows of 128 slots."""
+    need = -(-max(span, 1) // LANES)
+    r = 8
+    while r < need:
+        r *= 2
+    return r
+
+
+def mat_span_ok(span: int, npr: int, sels: int = 4,
+                sort_block: int = 1 << 20) -> bool:
+    """Density gate for the staged band: the probe side's mean tile-row
+    span (span * 128 / valid-rows-per-block slots) must fit within HALF
+    the sels-row window of 128-slot value rows (the 32x-finer analog of
+    large_span_ok)."""
+    half_window = (sels // 2) * LANES
+    nblocks = -(-max(npr, 1) // sort_block)
+    per_block = max(npr // max(nblocks, 1), 1)
+    return span * 128 <= half_window * per_block
+
+
+# ADAPTIVE perf gate for dense materialize (explicit strategy="direct"
+# bypasses it).  Calibrated on v5e (scripts/profile_dense_mat.py, round 5).
+MAT_MIN_PROBE_ROWS = 1 << 16
+MAT_STAGED_MIN_PROBE_ROWS = 8_000_000
+
+
+def mat_wins(v_rows: int, npr: int) -> bool:
+    """Measured-crossover perf gate: should the ADAPTIVE tier route an
+    eligible dense span through the direct materialize kernels?"""
+    if v_rows <= MAT_SCAN_MAX_V_ROWS:
+        return npr >= MAT_MIN_PROBE_ROWS
+    return npr >= MAT_STAGED_MIN_PROBE_ROWS
+
+
+def _dense_value_planes(kh, kl, vh, vl, nb_valid, *, v_rows: int,
+                        narrow_values: bool):
+    """Scatter build values into dense planes.  Returns (lo, n_bad,
+    occupied_bits, presence_plane, value_planes tuple).
+
+    Winner on duplicate build keys: MIN build-row index (first input
+    occurrence — the same deterministic rule as the global/vmem/merge
+    tiers, api.py output contract)."""
+    n = kh.shape[0]
+    v_slots = v_rows * LANES
+    bvalid = jnp.arange(n, dtype=jnp.int32) < nb_valid
+    ok0 = bvalid & (kh == 0)
+    lo = jnp.min(jnp.where(ok0, kl, SENTINEL), initial=SENTINEL)
+    diff = kl - lo                        # u32; keys < lo wrap to huge
+    bad = bvalid & ((kh != 0) | (diff >= v_slots))
+    n_bad = jnp.sum(bad).astype(jnp.uint32)
+    idx_b = jnp.where(bvalid & ~bad, diff, jnp.uint32(v_slots))
+
+    rowid = jnp.arange(n, dtype=jnp.int32)
+    win = jnp.full((v_slots,), n, jnp.int32).at[idx_b].min(rowid,
+                                                           mode="drop")
+    occ = win < n
+    safe = jnp.clip(win, 0, n - 1)
+    vplanes = ([] if narrow_values
+               else [jnp.where(occ, vh[safe], 0).reshape(v_rows, LANES)])
+    vplanes.append(jnp.where(occ, vl[safe], 0).reshape(v_rows, LANES))
+    presence = occ.astype(jnp.uint32).reshape(v_rows, LANES)
+    return lo, n_bad, occ, presence, tuple(vplanes)
+
+
+def _probe_idx(ph, pl, np_valid, lo, v_slots: int):
+    npr = ph.shape[0]
+    pvalid = jnp.arange(npr, dtype=jnp.int32) < np_valid
+    pdiff = pl - lo
+    pok = pvalid & (ph == 0) & (pdiff < v_slots)
+    return jnp.where(pok, pdiff, SENTINEL)
+
+
+def _compact_mat(hit_flat, pks_l, val_flats, npr: int, n_bad, unres,
+                 narrow_values: bool, interpret: bool):
+    from flash_hash_join_tpu.ops.pallas.stream_compact import (
+        compact_by_mask_fast)
+    zeros_n = lambda: jnp.zeros((npr,), jnp.uint32)  # noqa: E731
+    if narrow_values:
+        count, (out_l, out_vl) = compact_by_mask_fast(
+            hit_flat, (pks_l, val_flats[0]), n_out=npr, interpret=interpret)
+        out_vh = zeros_n()
+    else:
+        count, (out_l, out_vh, out_vl) = compact_by_mask_fast(
+            hit_flat, (pks_l, val_flats[0], val_flats[1]), n_out=npr,
+            interpret=interpret)
+    zero = jnp.uint32(0)
+    special = jnp.stack(
+        [zero, zero, zero, n_bad + unres.astype(jnp.uint32)])
+    return (count.astype(jnp.int32), zeros_n(), out_l, out_vh, out_vl,
+            special)
+
+
+def direct_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
+                            v_rows: int, narrow_values: bool = False,
+                            block_m: int = 512,
+                            sort_block: int | None = None,
+                            block_rows: int | None = None,
+                            sels: int | None = None,
+                            interpret: bool = False):
+    """In-graph dense-domain materialize.  Returns the engine materialize
+    contract (count, out_kh, out_kl, out_vh, out_vl, special4).
+
+    Output order: ascending domain-index order in the staged band, probe
+    order in the scan band — both deterministic (any fixed order satisfies
+    parity, api.py contract).  special[3] = build rows outside the domain
+    plus window-overflow probes; caller falls back to merge when nonzero.
+    """
+    from flash_hash_join_tpu.ops.pallas import dense_values as dv
+
+    v_slots = v_rows * LANES
+    lo, n_bad, occ, presence, vplanes = _dense_value_planes(
+        kh, kl, vh, vl, nb_valid, v_rows=v_rows,
+        narrow_values=narrow_values)
+    pidx = _probe_idx(ph, pl, np_valid, lo, v_slots)
+    npr = ph.shape[0]
+
+    if v_rows <= MAT_SCAN_MAX_V_ROWS:
+        # scan band: no sort; bitmap scan for hits + value-row scan
+        d_rows = max(8, v_rows // 32)
+        d_bits = d_rows * bp.BITS_PER_ROW
+        occ_pad = jnp.concatenate(
+            [occ, jnp.zeros((d_bits - v_slots,), jnp.bool_)]) \
+            if d_bits > v_slots else occ
+        weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        bitmap = jnp.sum(occ_pad.reshape(-1, 32).astype(jnp.uint32)
+                         * weights, axis=1,
+                         dtype=jnp.uint32).reshape(d_rows, LANES)
+        rows = -(-npr // LANES)
+        m = min(block_m, rows)
+        rows_pad = -(-rows // m) * m
+        pad = rows_pad * LANES - npr
+        pidx_p = (jnp.concatenate([pidx, jnp.full((pad,), SENTINEL)])
+                  if pad else pidx)
+        outs = bp.probe_gather_bitmap(
+            bitmap, vplanes, pidx_p.reshape(rows_pad, LANES),
+            d_rows=d_rows, v_rows=v_rows, block_m=m, interpret=interpret)
+        hit = outs[0].reshape(-1)
+        vals = [o.reshape(-1) for o in outs[1:]]
+        pks_l = lo + pidx_p
+        return _compact_mat(hit, pks_l, vals, npr, n_bad, jnp.int32(0),
+                            narrow_values, interpret)
+
+    # staged band: one-column blockwise probe sort + dynamic-row staging
+    if sort_block is None:
+        sort_block = 1 << 14 if interpret else 1 << 20
+    if block_rows is None:
+        block_rows = 128 if interpret else 512
+    if sels is None:
+        sels = 8 if interpret else dv.DEFAULT_SELS
+    psorted = _blockwise_sorted_idx(pidx, sort_block)
+    rs = jnp.clip((psorted[:, 0] >> jnp.uint32(7)).astype(jnp.int32),
+                  0, v_rows - sels)
+    rs_all = rs.reshape(-1, 1, block_rows)
+    out = dv.probe_gather_staged(
+        (presence, *vplanes), psorted, rs_all, v_rows=v_rows,
+        block_rows=block_rows, sels=sels, interpret=interpret)
+    mask, vals, unres = out[0], out[1:-1], out[-1]
+    pks_l = lo + psorted.reshape(-1)
+    return _compact_mat(mask.reshape(-1), pks_l,
+                        [v.reshape(-1) for v in vals], npr, n_bad, unres,
+                        narrow_values, interpret)
+
+
 def direct_join_count(kh, kl, ph, pl, nb_valid, np_valid, *, d_rows: int,
                       block_m: int = 512, interpret: bool = False):
     """In-graph dense-domain count.  Returns (count:i32, special4:u32).
@@ -211,7 +395,12 @@ def large_span_ok(span: int, nb: int, npr: int, sels: int = 4,
 # kernel's blockwise sorts are flat per row), so the gate is a probe-row
 # threshold, conservative toward the partitioned tier because the 2e7
 # losses (up to 47%) are larger than the 4e7 wins (10-19%).  nb > 1.25x
-# npr has no measured win anywhere and stays partitioned.
+# npr has no measured win anywhere and stays partitioned.  NOTE the
+# boundary is partly extrapolated: the sweep has no points strictly
+# between nb=npr and nb=1.25*npr and none beyond 4e7 probes; the trend
+# (direct's margin GROWS with npr, shrinks with nb/npr) makes both
+# extensions conservative, and scripts/check_gate_drift.py re-measures
+# the gate on demand (run it after any kernel change).
 LARGE_MIN_PROBE_ROWS = 32_000_000
 
 

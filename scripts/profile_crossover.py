@@ -38,10 +38,14 @@ def main():
         for nb_f in args.nb:
             nb = int(nb_f)
             if nb > 4 * npr:
+                print(f"SKIP,nb={nb},npr={npr},reason=nb>4*npr", flush=True)
                 continue
             universe = int(nb * 1.1)
             if universe <= (1 << 20):
-                continue  # outside the large-direct band
+                # outside the large-direct band
+                print(f"SKIP,nb={nb},npr={npr},reason=universe<=2^20",
+                      flush=True)
+                continue
             bk = rng.integers(0, universe, nb, dtype=np.uint64)
             bv = rng.integers(1, 101, nb, dtype=np.uint64)
             pk = rng.integers(0, universe, npr, dtype=np.uint64)

@@ -300,3 +300,60 @@ def test_explicit_strategies_bypass_partitioned_plan(monkeypatch):
     assert c == want
     c, _ = fj.join_count(bk, bv, pk, strategy="global")
     assert c == want
+
+
+def test_chunked_dense_key_count_routes_direct(monkeypatch):
+    """Round-5 gate lift (VERDICT r4 item 4): a chunked probe stream over
+    a dense build domain routes each chunk through the direct bitmap
+    strategy — counts stay exact and info reports the direct route."""
+    import flash_hash_join_tpu.api as api
+    from flash_hash_join_tpu.engine import JoinEngine
+    from flash_hash_join_tpu.models.cost import JoinPlan
+
+    def fake_plan(self, nb, npr, mode="count"):
+        real = choose_plan(nb, npr, self.cfg, mode)
+        return JoinPlan(real.strategy, real.gbits,
+                        3 if npr >= 150_000 else 1)
+
+    monkeypatch.setattr(JoinEngine, "plan", fake_plan)
+    rng = np.random.default_rng(55)
+    nb, npr = 30_000, 240_000           # per-chunk 80_000 >= 2^16 gate
+    bk = rng.integers(0, int(nb * 1.1), nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**31, nb, dtype=np.uint64)
+    pk = rng.integers(0, int(nb * 1.3), npr, dtype=np.uint64)
+    expected = int(np.isin(pk, np.unique(bk)).sum())
+
+    count, _, info = api._run_join(bk, bv, pk, mode="count",
+                                   strategy="adaptive", use_bloom=False,
+                                   return_info=True)
+    assert count == expected
+    assert info["probe_chunks"] == 3
+    assert info["strategy"] == "direct"
+    assert info["d_rows"] > 0
+
+
+def test_chunked_materialize_keeps_sort_route(monkeypatch):
+    """Chunked materialize must NOT take the dense upgrade (value planes
+    would rebuild per chunk; unmeasured) — and must stay exact."""
+    import flash_hash_join_tpu.api as api
+    from flash_hash_join_tpu.engine import JoinEngine
+    from flash_hash_join_tpu.models.cost import JoinPlan
+
+    def fake_plan(self, nb, npr, mode="count"):
+        real = choose_plan(nb, npr, self.cfg, mode)
+        return JoinPlan(real.strategy, real.gbits,
+                        3 if npr >= 150_000 else 1)
+
+    monkeypatch.setattr(JoinEngine, "plan", fake_plan)
+    rng = np.random.default_rng(56)
+    nb, npr = 30_000, 240_000
+    bk = rng.integers(0, int(nb * 1.1), nb, dtype=np.uint64)
+    bv = rng.integers(0, 2**31, nb, dtype=np.uint64)
+    pk = rng.integers(0, int(nb * 1.3), npr, dtype=np.uint64)
+    expected = int(np.isin(pk, np.unique(bk)).sum())
+
+    count, _, info = api._run_join(bk, bv, pk, mode="materialize",
+                                   strategy="adaptive", use_bloom=False,
+                                   return_info=True)
+    assert count == expected
+    assert info["strategy"] != "direct"
