@@ -160,6 +160,7 @@ def main():
         strat = strategies[it % len(strategies)]
         if strat == "vmem" and (len(bk) > 40_000 or len(pk) < 2 * len(bk)):
             strat = "merge"
+        mat_strat = strat
         if strat == "direct":
             from flash_hash_join_tpu.ops import direct_bitmap as db
             bmax = int(bk.max())
@@ -170,6 +171,14 @@ def main():
                     or (span <= db.MAX_LARGE_DOMAIN_BITS
                         and db.large_span_ok(span, len(bk), len(pk))))):
                 strat = "merge"
+            # materialize eligibility is narrower (value planes cap at
+            # 2^20 slots; staged band needs the density gate)
+            v_rows = db.v_rows_for(span)
+            if not (bmax < 2**32 and len(bk) <= db.MAX_BUILD_ROWS
+                    and (v_rows <= db.MAT_SCAN_MAX_V_ROWS
+                         or (v_rows <= db.MAT_MAX_V_ROWS
+                             and db.mat_span_ok(span, len(pk))))):
+                mat_strat = "merge"
         if args.chunked:
             # alternate chunk counts and overlap/serial across iterations;
             # keep shapes' chunk GEOMETRY stable for compile reuse on TPU
@@ -178,15 +187,14 @@ def main():
         try:
             c, _ = fj.join_count(bk, bv, pk, strategy=strat)
             assert c == want, f"count {c} != {want}"
-            if strat != "direct":   # direct is count-only
-                c2, _, keys, vals = fj.join_materialize(
-                    bk, bv, pk, strategy=strat, return_arrays=True)
-                assert c2 == want, f"mat count {c2} != {want}"
-                assert collections.Counter(keys.tolist()) == want_keys, \
-                    "key multiset"
-                bad = [p for p in zip(keys.tolist(), vals.tolist())
-                       if p not in pairs]
-                assert not bad, f"bad pairs {bad[:3]}"
+            c2, _, keys, vals = fj.join_materialize(
+                bk, bv, pk, strategy=mat_strat, return_arrays=True)
+            assert c2 == want, f"mat count {c2} != {want}"
+            assert collections.Counter(keys.tolist()) == want_keys, \
+                "key multiset"
+            bad = [p for p in zip(keys.tolist(), vals.tolist())
+                   if p not in pairs]
+            assert not bad, f"bad pairs {bad[:3]}"
         except Exception as e:
             fails += 1
             print(f"FAIL seed={seed} dist={dist} strat={strat} "
