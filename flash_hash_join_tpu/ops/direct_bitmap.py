@@ -140,17 +140,32 @@ def mat_span_ok(span: int, npr: int, sels: int = 4,
     return span * 128 <= half_window * per_block
 
 
-# ADAPTIVE perf gate for dense materialize (explicit strategy="direct"
-# bypasses it).  Calibrated on v5e (scripts/profile_dense_mat.py, round 5).
-MAT_MIN_PROBE_ROWS = 1 << 16
-MAT_STAGED_MIN_PROBE_ROWS = 8_000_000
+# ADAPTIVE perf gates for dense materialize (explicit strategy="direct"
+# bypasses them).  Calibrated on v5e, round 5 (scripts/profile_dense_mat.py,
+# ns/probe-row direct vs the partitioned route with pack compaction):
+#   scan v8:   2e5 7.2/5.8 LOSES (dispatch-bound); 1e6 1.95/2.23 wins;
+#              4e6 0.47/0.74; 8e6-4e7 0.30-0.39/0.60-0.70 — wins from ~1e6
+#   scan v16:  1e6 1.88/1.60 loses marginally — threshold doubles
+#   scan v64:  4e6 0.80/1.40 wins
+#   scan v128: 8e6 1.19/0.99 loses; 1e7 1.10/1.59 wins
+#   staged:    a NEAR-TIE band (v256@2e7 1.91/1.87, v512@4e7 ~1.7/1.81,
+#              both within run noise) — routed from LARGE_MIN_PROBE_ROWS
+#              (3.2e7), where it measured ahead and the per-chunk
+#              build-side plane scatter amortizes
+# The scan cost is linear in v_rows (one gather/select step per value
+# row), so the threshold family grows with v_rows.
+MAT_STAGED_MIN_PROBE_ROWS = 32_000_000
 
 
 def mat_wins(v_rows: int, npr: int) -> bool:
     """Measured-crossover perf gate: should the ADAPTIVE tier route an
     eligible dense span through the direct materialize kernels?"""
+    if v_rows <= 8:
+        return npr >= 1_000_000
+    if v_rows <= 64:
+        return npr >= 2_000_000
     if v_rows <= MAT_SCAN_MAX_V_ROWS:
-        return npr >= MAT_MIN_PROBE_ROWS
+        return npr >= 10_000_000
     return npr >= MAT_STAGED_MIN_PROBE_ROWS
 
 
@@ -270,14 +285,23 @@ def direct_join_materialize(kh, kl, vh, vl, ph, pl, nb_valid, np_valid, *,
     if sels is None:
         sels = 8 if interpret else dv.DEFAULT_SELS
     psorted = _blockwise_sorted_idx(pidx, sort_block)
+    # XLA-opaque materialization of the sorted array before its consumers
+    # (the rs column slice + the kernel's tile input): without it XLA:TPU
+    # miscompiled the fused [strided transpose -> batched sort] producer
+    # at multi-block shapes (+128 spurious hits at npr=2e7 on v5e) — the
+    # full failure analysis lives on dv.materialize_copy.
+    psorted = dv.materialize_copy(psorted, interpret=interpret)
     rs = jnp.clip((psorted[:, 0] >> jnp.uint32(7)).astype(jnp.int32),
                   0, v_rows - sels)
     rs_all = rs.reshape(-1, 1, block_rows)
     out = dv.probe_gather_staged(
         (presence, *vplanes), psorted, rs_all, v_rows=v_rows,
         block_rows=block_rows, sels=sels, interpret=interpret)
-    mask, vals, unres = out[0], out[1:-1], out[-1]
-    pks_l = lo + psorted.reshape(-1)
+    mask, keys, vals, unres = out[0], out[1], out[2:-1], out[-1]
+    # keys come from the KERNEL's idx pass-through, not from psorted:
+    # deriving them here would add a third XLA consumer to the sort
+    # result and re-trigger the miscompile documented above.
+    pks_l = lo + keys.reshape(-1)
     return _compact_mat(mask.reshape(-1), pks_l,
                         [v.reshape(-1) for v in vals], npr, n_bad, unres,
                         narrow_values, interpret)

@@ -40,13 +40,59 @@ SENTINEL = 0xFFFFFFFF
 DEFAULT_SELS = 4
 
 
+def _copy_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def materialize_copy(x, *, interpret: bool = False):
+    """Identity grid copy through a Pallas kernel: an XLA-opaque
+    materialization point (one streaming pass, ~0.025 ns/element).
+
+    XLA:TPU MISCOMPILES the staged band's [pad-concat -> strided
+    transpose -> batched lax.sort] producer when its result is fused
+    into multiple consumers: at npr=2e7 (20 sort blocks) the last
+    128-lane row of the sorted array reached the consumers as a
+    broadcast duplicate of one value instead of the pad sentinels (+128
+    spurious hits, caught round 5 by a cross-strategy count mismatch).
+    Eager and isolated-jit runs were exact; is_stable=True, a dim-0
+    sort, optimization_barrier on either side, and a no-op self-concat
+    all failed to dodge the bad fusion as the graph grew.  pallas_call
+    boundaries are opaque to XLA fusion on both sides, so routing the
+    sorted array through this copy forces every consumer to read one
+    true buffer.  (The count path, direct_join_count_large, does not
+    need it: its two-sided concatenate materializes the same way and is
+    parity-validated at scale.)"""
+    rows = x.shape[0]
+    bm = 4096 if rows % 4096 == 0 else 128
+    return pl.pallas_call(
+        _copy_kernel,
+        grid=(rows // bm,),
+        in_specs=[pl.BlockSpec((bm, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, LANES), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)
+
+
 def _kernel(BM, v_rows, sels, V, rs_ref, *refs):
     planes = refs[:V]          # plane 0 = presence, 1.. = values
     idx_ref = refs[V]
     mask_ref = refs[V + 1]
-    outs = refs[V + 2:V + 1 + V]   # gathered value planes (V-1 of them)
-    unres_ref = refs[2 * V + 1]
-    rowbuf = refs[2 * V + 2]       # VMEM (V, 8, 128) staging
+    keys_ref = refs[V + 2]         # idx pass-through (see docstring)
+    outs = refs[V + 3:V + 2 + V]   # gathered value planes (V-1 of them)
+    unres_ref = refs[2 * V + 2]
+    rowbuf = refs[2 * V + 3]       # VMEM (V, 8, 128) staging
+
+    # The sorted-idx plane is re-emitted VERBATIM so the caller derives
+    # output keys from a KERNEL OUTPUT instead of adding a third XLA
+    # consumer to the blockwise-sort result — XLA:TPU miscompiled the
+    # [pad-concat -> strided transpose -> batched sort] producer under
+    # >= 3 fused consumers (see ops/direct_bitmap.py staged band); as a
+    # bonus the idx tile is already in VMEM, saving an HBM read.
+    keys_ref[:] = idx_ref[:]
 
     T = BM // 8
 
@@ -95,9 +141,11 @@ def probe_gather_staged(planes, idx_sorted, rs_all, *, v_rows: int,
     (NB, 1, BM) int32 per-tile-row value-row starts, pre-clipped to
     [0, v_rows - sels].
 
-    Returns (mask, values..., unres) — mask/values are (NB*BM, 128) u32
-    aligned to idx_sorted, unres an int32 scalar of valid probes whose
-    value row overflowed the window (caller must fall back when nonzero).
+    Returns (mask, keys, values..., unres) — mask/keys/values are
+    (NB*BM, 128) u32 aligned to idx_sorted (keys = idx_sorted passed
+    through the kernel; see _kernel), unres an int32 scalar of valid
+    probes whose value row overflowed the window (caller must fall back
+    when nonzero).
     """
     V = len(planes)
     BM = block_rows
@@ -115,13 +163,13 @@ def probe_gather_staged(planes, idx_sorted, rs_all, *, v_rows: int,
              ] * V
         + [pl.BlockSpec((BM, LANES), blk, memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((BM, LANES), blk, memory_space=pltpu.VMEM)
-                   ] * V
+                   ] * (V + 1)
         + [pl.BlockSpec((8, LANES), blk, memory_space=pltpu.VMEM)],
-        out_shape=tuple(plane_shape for _ in range(V))
+        out_shape=tuple(plane_shape for _ in range(V + 1))
         + (jax.ShapeDtypeStruct((NB * 8, LANES), jnp.int32),),
         scratch_shapes=[pltpu.VMEM((V, 8, LANES), jnp.uint32)],
         interpret=interpret,
     )(rs_all, *planes, idx_sorted)
-    mask, vals, unres_blocks = out[0], out[1:V], out[V]
+    mask, keys, vals, unres_blocks = out[0], out[1], out[2:V + 1], out[V + 1]
     unres = jnp.sum(unres_blocks.reshape(NB, 8, LANES)[:, 0, 0])
-    return (mask, *vals, unres)
+    return (mask, keys, *vals, unres)

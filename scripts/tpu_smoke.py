@@ -93,6 +93,22 @@ def main() -> int:
         c, _ = fj.join_count(bk2, bv2, pk2, strategy=strat)
         assert c == want, (strat, c, want)
     print("sentinel OK", flush=True)
+
+    # dense STAGED materialize at a multi-sort-block shape with a pad
+    # tail: pins the round-5 XLA:TPU fusion miscompile of the blockwise
+    # sort (+128 spurious hits at 20 blocks; fixed by routing the sorted
+    # array through dv.materialize_copy — see that docstring).  npr=2e7
+    # was the observed failure; 5 blocks + ragged pad reproduces the
+    # shape class at a quarter of the cost.
+    rng2 = np.random.default_rng(99)
+    nb3, npr3 = 40_000, 5 * (1 << 20) + 77_777
+    bk3 = rng2.integers(0, 44_000, nb3, dtype=np.uint64)
+    bv3 = rng2.integers(0, 2**31, nb3, dtype=np.uint64)
+    pk3 = rng2.integers(0, 44_000, npr3, dtype=np.uint64)
+    want3 = int(np.isin(pk3, np.unique(bk3)).sum())
+    c, _ = fj.join_materialize(bk3, bv3, pk3, strategy="direct")
+    assert c == want3, ("dense staged materialize", c, want3)
+    print("dense staged materialize OK", flush=True)
     print("ALL TPU KERNEL CHECKS PASSED")
     return 0
 

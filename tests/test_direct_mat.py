@@ -169,7 +169,7 @@ def test_empty_and_all_miss():
 
 def test_api_adaptive_routes_dense_materialize():
     rng = np.random.default_rng(5)
-    nb, npr = 2_000, 70_000
+    nb, npr = 900, 1_100_000          # v_rows=8 band, past its 1e6 gate
     bk = rng.permutation(nb).astype(np.uint64) + 1
     bv = rng.integers(1, nb, nb).astype(np.uint64)
     pk = rng.integers(1, int(nb * 1.1) + 1, npr).astype(np.uint64)
