@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--probe", type=float, default=1e9)
     ap.add_argument("--match", type=float, default=0.05)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--dense", action="store_true",
+                    help="J1-like dense build domain (universe = 1.1*nb) "
+                         "instead of the 5%%-match range: the chunked "
+                         "stream should route every chunk through the "
+                         "direct bitmap strategy (round-5 gate lift)")
     args = ap.parse_args()
     nb, npr = int(args.build), int(args.probe)
 
@@ -43,7 +48,7 @@ def main():
     fj.initialize()
 
     # uniform keys over a range sized for the target match rate
-    key_range = int(nb / args.match)
+    key_range = int(nb * 1.1) if args.dense else int(nb / args.match)
     rng = np.random.default_rng(3)
     log(f"generating {nb:,} build / {npr:,} probe keys over [0, {key_range:,})")
     bk = rng.permutation(key_range)[:nb].astype(np.uint64)  # distinct builds
@@ -67,17 +72,24 @@ def main():
     # overlapped pipeline whose wall time is the number a user actually
     # pays end-to-end (VERDICT r3 item 4: wall must be <= 1.15x device).
     best_dev = best_wall = float("inf")
+    strategy = "?"
     for i in range(args.repeats):
         os.environ["FHJ_CHUNK_OVERLAP"] = "0"
-        count, dev = fj.adaptive_join_count(bk, bv, pk)
+        import flash_hash_join_tpu.api as api
+        count, dev, info = api._run_join(bk, bv, pk, mode="count",
+                                         strategy="adaptive",
+                                         use_bloom=False, return_info=True)
+        strategy = info["strategy"]
         assert count == expected, (count, expected)
         best_dev = min(best_dev, dev)
         os.environ["FHJ_CHUNK_OVERLAP"] = "1"
         count, wall = fj.adaptive_join_count(bk, bv, pk)
         assert count == expected, (count, expected)
         best_wall = min(best_wall, wall)
-        log(f"run {i}: count={count:,} device_sum={dev:.3f}s wall={wall:.3f}s")
+        log(f"run {i}: count={count:,} device_sum={dev:.3f}s "
+            f"wall={wall:.3f}s strategy={strategy}")
     print(f"CONFIG3,build={nb},probe={npr},match={args.match},"
+          f"dense={args.dense},strategy={strategy},"
           f"chunks={chunks},core={best_dev:.3f},wall={best_wall:.3f},"
           f"wall_over_device={best_wall/best_dev:.3f},"
           f"rows_per_sec={npr/best_dev:.3e},count={expected}", flush=True)
